@@ -1,0 +1,333 @@
+"""Typed configuration tree for the TPU-native TransFuser framework.
+
+Mirrors the knob surface of the reference flat config class
+(`/root/reference/team_code_transfuser/config.py:3-250`) but as frozen
+dataclasses with an ``args.txt``-compatible JSON round trip
+(reference contract: train.py:174-175 -> submission_agent.py:41-74).
+
+Design notes (TPU-first):
+  * All shapes here are static; the whole model compiles to a single XLA
+    program. Anything data-dependent (variable box counts, lidar point
+    counts) uses the same padding contracts as the reference
+    (20 boxes, 40k points).
+  * Images are NHWC (TPU-native layout); the reference is NCHW.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class SensorConfig:
+    """Camera/LiDAR rig geometry (reference config.py:12-27)."""
+
+    img_resolution: Tuple[int, int] = (160, 704)  # (H, W) network input crop
+    img_width: int = 320
+    scale: int = 1
+    camera_width: int = 960
+    camera_height: int = 480
+    camera_fov: int = 120
+    camera_pos: Tuple[float, float, float] = (1.3, 0.0, 2.3)
+    camera_rot_0: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    camera_rot_1: Tuple[float, float, float] = (0.0, 0.0, -60.0)
+    camera_rot_2: Tuple[float, float, float] = (0.0, 0.0, 60.0)
+    lidar_pos: Tuple[float, float, float] = (1.3, 0.0, 2.5)
+    lidar_rot: Tuple[float, float, float] = (0.0, 0.0, -90.0)
+    lidar_resolution_width: int = 256
+    lidar_resolution_height: int = 256
+    pixels_per_meter: float = 8.0
+
+
+@dataclass(frozen=True)
+class BevConfig:
+    """BEV grid + segmentation raster (reference config.py:28-29, 139-141)."""
+
+    bev_resolution_width: int = 160
+    bev_resolution_height: int = 160
+    bev_features_channels: int = 64
+    bev_upsample_factor: int = 2
+    bev_num_classes: int = 3  # none / road / road+lane  (data.py:606-611)
+
+
+@dataclass(frozen=True)
+class CenterNetConfig:
+    """Detection head knobs (reference config.py:54-62, model.py:33-514)."""
+
+    num_classes: int = 1
+    channel: int = 64
+    num_dir_bins: int = 12
+    top_k_center_keypoints: int = 100
+    center_net_max_pooling_kernel: int = 3
+    center_net_bias_init_with_prob: float = 0.1
+    center_net_normal_init_std: float = 0.001
+    bb_confidence_threshold: float = 0.3
+    bounding_box_divisor: float = 2.0
+    max_label_boxes: int = 20  # padding contract (data.py:299)
+    gaussian_min_overlap: float = 0.1
+    gaussian_min_radius: int = 2
+    loss_wh_weight: float = 0.1  # mmdet L1Loss(loss_weight=0.1) (model.py:59)
+
+
+@dataclass(frozen=True)
+class PointPillarConfig:
+    """Optional dynamic-pillar LiDAR encoder (reference config.py:42-49)."""
+
+    use_point_pillars: bool = False
+    max_lidar_points: int = 40000
+    min_x: float = -16.0
+    max_x: float = 16.0
+    min_y: float = -32.0
+    max_y: float = 0.0
+    num_input: int = 9
+    num_features: Tuple[int, ...] = (32, 32)
+
+
+@dataclass(frozen=True)
+class GPTConfig:
+    """Fusion transformer (reference config.py:174-185)."""
+
+    n_embd: int = 512  # latentTF-only fixed width; scale GPTs use stage widths
+    n_head: int = 4
+    block_exp: int = 4
+    n_layer: int = 4  # train.py:56 default (the paper config); class default was 8
+    n_scale: int = 4
+    embd_pdrop: float = 0.1
+    resid_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
+    linear_init_std: float = 0.02
+    img_vert_anchors: int = 5
+    img_horz_anchors: int = 22
+    lidar_vert_anchors: int = 8
+    lidar_horz_anchors: int = 8
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Top-level model family selection + head dims."""
+
+    backbone: str = "transFuser"  # transFuser | late_fusion | geometric_fusion | latentTF
+    image_architecture: str = "regnety_032"
+    lidar_architecture: str = "regnety_032"
+    use_velocity: bool = False
+    use_target_point_image: bool = True
+    gru_concat_target_point: bool = True
+    gru_hidden_size: int = 64
+    seq_len: int = 1
+    img_seq_len: int = 1
+    lidar_seq_len: int = 1
+    pred_len: int = 4
+    perception_output_features: int = 512
+    num_class: int = 7  # semantic classes
+    multitask: bool = True
+    deconv_channel_num_1: int = 128
+    deconv_channel_num_2: int = 64
+    deconv_channel_num_3: int = 32
+    deconv_scale_factor_1: int = 8
+    deconv_scale_factor_2: int = 4
+    gpt: GPTConfig = field(default_factory=GPTConfig)
+    centernet: CenterNetConfig = field(default_factory=CenterNetConfig)
+    point_pillars: PointPillarConfig = field(default_factory=PointPillarConfig)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss weighting (reference config.py:119-136)."""
+
+    ls_seg: float = 1.0
+    ls_depth: float = 10.0
+    # Order matches reference `detailed_losses` (config.py:134-136).
+    detailed_losses: Tuple[str, ...] = (
+        "loss_wp", "loss_bev", "loss_depth", "loss_semantic",
+        "loss_center_heatmap", "loss_wh", "loss_offset",
+        "loss_yaw_class", "loss_yaw_res", "loss_velocity", "loss_brake",
+    )
+    detailed_losses_weights: Tuple[float, ...] = (
+        1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 0.2, 0.2, 0.2, 0.0, 0.0,
+    )
+    bev_class_weights: Tuple[float, ...] = (1.0, 1.0, 3.0)  # model.py:762
+
+    def weight_of(self, name: str) -> float:
+        return self.detailed_losses_weights[self.detailed_losses.index(name)]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / schedule / parallelism (reference train.py:30-73)."""
+
+    lr: float = 1e-4
+    epochs: int = 41
+    batch_size: int = 12  # per chip
+    schedule_reduce_epoch_01: int = 30
+    schedule_reduce_epoch_02: int = 40
+    schedule_gamma: float = 0.1
+    val_every: int = 5
+    weight_decay: float = 0.01  # torch AdamW default
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    augment: bool = True
+    inv_augment_prob: float = 0.1
+    aug_max_rotation: float = 20.0  # degrees
+    setting: str = "all"  # all | 02_05_withheld | eval
+    sync_batch_norm: bool = True  # free under GSPMD: batch stats are global
+    zero_redundancy_optimizer: bool = True  # ZeRO-1 opt-state sharding
+    compute_dtype: str = "bfloat16"
+    # Mesh axes: data-parallel x model(tensor)-parallel.
+    mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class ControllerConfig:
+    """PID + driving heuristics (reference config.py:149-204)."""
+
+    turn_kp: float = 1.25
+    turn_ki: float = 0.75
+    turn_kd: float = 0.3
+    turn_n: int = 20
+    speed_kp: float = 5.0
+    speed_ki: float = 0.5
+    speed_kd: float = 1.0
+    speed_n: int = 20
+    max_throttle: float = 0.75
+    brake_speed: float = 0.4
+    brake_ratio: float = 1.1
+    clip_delta: float = 0.25
+    clip_throttle: float = 0.75
+    default_speed: float = 4.0
+    steer_damping: float = 0.5
+    gps_buffer_max_len: int = 100
+    carla_fps: int = 20
+    action_repeat: int = 2
+    stuck_threshold: int = 550  # 1100 / action_repeat (config.py:157)
+    creep_duration: int = 15  # 30 / action_repeat (config.py:158)
+    iou_threshold_nms: float = 0.2
+    route_planner_min_distance: float = 7.5
+    route_planner_max_distance: float = 50.0
+    safety_box_z_min: float = -2.0
+    safety_box_z_max: float = -1.05
+    safety_box_y_min: float = -3.0
+    safety_box_y_max: float = 0.0
+    safety_box_x_min: float = -1.066
+    safety_box_x_max: float = 1.066
+    ego_extent_x: float = 2.4508416652679443
+    ego_extent_y: float = 1.0641621351242065
+    ego_extent_z: float = 0.7553732395172119
+
+
+# CARLA semantic-id -> 7-class converter (reference config.py:88-117).
+SEMANTIC_CONVERTER: Tuple[int, ...] = (
+    0, 0, 0, 0, 4, 0, 5, 2, 6, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 3, 3,
+    0, 0, 5,
+)
+
+
+@dataclass(frozen=True)
+class GlobalConfig:
+    """Root config. Frozen; derive variants with ``.replace(...)``."""
+
+    sensors: SensorConfig = field(default_factory=SensorConfig)
+    bev: BevConfig = field(default_factory=BevConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    controller: ControllerConfig = field(default_factory=ControllerConfig)
+    root_dir: str = ""
+    setting: str = "all"
+    debug: bool = False
+
+    # ---------------------------------------------------------------- helpers
+    def replace(self, **kwargs: Any) -> "GlobalConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "GlobalConfig":
+        raw = json.loads(text)
+        return _from_dict(GlobalConfig, raw)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @staticmethod
+    def load(path: str) -> "GlobalConfig":
+        with open(path) as f:
+            return GlobalConfig.from_json(f.read())
+
+    # -------------------------------------------------- dataset split listing
+    def resolve_splits(self) -> Tuple[List[str], List[str]]:
+        """Train/val route-dir lists (reference config.py:206-250)."""
+        if self.setting == "eval" or not self.root_dir:
+            return [], []
+        towns = sorted(os.listdir(self.root_dir))
+        train_data: List[str] = []
+        val_data: List[str] = []
+        if self.setting == "all":
+            for town in towns:
+                town_dir = os.path.join(self.root_dir, town)
+                if not os.path.isdir(town_dir):
+                    continue
+                for f in sorted(os.listdir(town_dir)):
+                    p = os.path.join(town_dir, f)
+                    if os.path.isdir(p):
+                        train_data.append(p)
+            # Reference validates on the first town's data under 'all'.
+            first = towns[0] if towns else None
+            if first is not None:
+                town_dir = os.path.join(self.root_dir, first)
+                for f in sorted(os.listdir(town_dir)):
+                    p = os.path.join(town_dir, f)
+                    if os.path.isdir(p):
+                        val_data.append(p)
+        elif self.setting == "02_05_withheld":
+            for town in towns:
+                town_dir = os.path.join(self.root_dir, town)
+                if not os.path.isdir(town_dir):
+                    continue
+                for f in sorted(os.listdir(town_dir)):
+                    p = os.path.join(town_dir, f)
+                    if not os.path.isdir(p):
+                        continue
+                    withheld = ("Town02" in f) or ("Town05" in f)
+                    (val_data if withheld else train_data).append(p)
+        else:
+            raise ValueError(f"unknown setting: {self.setting}")
+        return train_data, val_data
+
+
+def _from_dict(cls: Any, raw: Dict[str, Any]) -> Any:
+    """Recursively build nested frozen dataclasses from a plain dict."""
+    if not dataclasses.is_dataclass(cls):
+        return raw
+    kwargs: Dict[str, Any] = {}
+    hints = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in raw.items():
+        if key not in hints:
+            continue
+        f = hints[key]
+        ftype = f.type
+        # Resolve string annotations to the actual class in this module.
+        if isinstance(ftype, str):
+            ftype = globals().get(ftype.strip("'\""), None)
+        if dataclasses.is_dataclass(ftype) and isinstance(value, dict):
+            kwargs[key] = _from_dict(ftype, value)
+        elif isinstance(value, list):
+            kwargs[key] = tuple(tuple(v) if isinstance(v, list) else v for v in value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def config_for_backbone(backbone: str, **overrides: Any) -> GlobalConfig:
+    """Convenience constructors for the four model families."""
+    cfg = GlobalConfig()
+    model = dataclasses.replace(cfg.model, backbone=backbone, **overrides)
+    return cfg.replace(model=model)
