@@ -1,16 +1,36 @@
-"""Test harness: force an 8-device virtual CPU mesh before JAX imports.
+"""Test harness: force an 8-device virtual CPU mesh.
 
+The driver environment pre-imports jax (sitecustomize) with the axon TPU
+backend selected via JAX_PLATFORMS=axon, so plain env-var edits are too
+late; we must go through jax.config before the first backend use.
 Sharding/parallelism tests then see jax.device_count() == 8 without real
 hardware, per the multi-chip test strategy (SURVEY.md §4).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA flags are read at (lazy) backend initialization — still early enough.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402  (already imported by sitecustomize; reconfigure)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    f"{jax.devices()}")
+assert jax.device_count() >= 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -295,6 +295,10 @@ _ENCODERS: dict = {
                                             in_channels=in_ch, dtype=dtype),
     "resnet18": lambda in_ch, dtype: ResNet(depths=(2, 2, 2, 2),
                                             in_channels=in_ch, dtype=dtype),
+    # Micro trunk for fast CPU tests (not a reference architecture).
+    "resnet_micro": lambda in_ch, dtype: ResNet(
+        depths=(1, 1, 1, 1), widths=(16, 32, 64, 128),
+        in_channels=in_ch, dtype=dtype),
     "convnext_base": lambda in_ch, dtype: ConvNeXt(in_channels=in_ch, dtype=dtype),
     "convnext_tiny": lambda in_ch, dtype: ConvNeXt(
         depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),

@@ -23,10 +23,12 @@ Dtype = Any
 
 def _dense(features: int, std: float, dtype: Dtype, kernel_axes: tuple,
            name: Optional[str] = None) -> nn.Dense:
+    # kernel_axes documents the tensor-parallel layout; the actual mesh
+    # sharding is assigned by path rules in parallel/sharding.py.
+    del kernel_axes
     return nn.Dense(
         features,
-        kernel_init=nn.with_logical_partitioning(
-            nn.initializers.normal(stddev=std), kernel_axes),
+        kernel_init=nn.initializers.normal(stddev=std),
         bias_init=nn.initializers.zeros,
         dtype=dtype, param_dtype=jnp.float32, name=name)
 
@@ -117,11 +119,8 @@ class GPTFusion(nn.Module):
             lidar_tokens.reshape(b, hl * wl, self.n_embd),
         ], axis=1)
 
-        pos_emb = self.param(
-            "pos_emb",
-            nn.with_logical_partitioning(nn.initializers.zeros,
-                                         (None, "tokens", "embed")),
-            (1, n_tok, self.n_embd), jnp.float32)
+        pos_emb = self.param("pos_emb", nn.initializers.zeros,
+                             (1, n_tok, self.n_embd), jnp.float32)
         x = tokens + pos_emb.astype(self.dtype)
         if self.use_velocity:
             assert velocity is not None
