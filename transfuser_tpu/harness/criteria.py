@@ -1,0 +1,264 @@
+"""Evaluation criteria producing TrafficEvents.
+
+Behavioral spec: srunner scenarioatomics/atomic_criteria_local.py:32-1883 +
+the criteria set wired by RouteScenario (route_scenario_local.py:532-567):
+Collision / InRoute (offroad_max 30, terminating) / RouteCompletion /
+OutsideRouteLanes / RunningRedLight / RunningStop / AgentBlocked
+(<0.1 m/s for 180 s, terminating). Simplified to the hermetic backend's
+actor model; a live-CARLA adapter can reuse the same event vocabulary.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..sim.replay import Actor, ReplaySimulation
+from ..sim.types import Transform
+from .events import TrafficEvent, TrafficEventType
+
+
+class Criterion:
+    name = "criterion"
+    terminates = False
+
+    def __init__(self) -> None:
+        self.events: List[TrafficEvent] = []
+        self.test_status = "INIT"
+
+    def update(self, sim: ReplaySimulation) -> None:
+        raise NotImplementedError
+
+
+class CollisionTest(Criterion):
+    name = "CollisionTest"
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._colliding_ids: set = set()
+
+    def update(self, sim: ReplaySimulation) -> None:
+        current = set()
+        for actor in sim.collision_events:
+            current.add(actor.actor_id)
+            if actor.actor_id in self._colliding_ids:
+                continue  # debounce: one event per continuous contact
+            if actor.type_id.startswith("walker"):
+                etype = TrafficEventType.COLLISION_PEDESTRIAN
+            elif actor.type_id.startswith("vehicle"):
+                etype = TrafficEventType.COLLISION_VEHICLE
+            else:
+                etype = TrafficEventType.COLLISION_STATIC
+            loc = actor.transform.location
+            self.events.append(TrafficEvent(
+                etype,
+                message=(f"Agent collided against object with type="
+                         f"{actor.type_id} and id={actor.actor_id} at "
+                         f"(x={loc.x:.3f}, y={loc.y:.3f}, z={loc.z:.3f})"),
+                dictionary={"type": actor.type_id, "id": actor.actor_id,
+                            "x": loc.x, "y": loc.y, "z": loc.z}))
+            self.test_status = "FAILURE"
+        self._colliding_ids = current
+
+
+class RouteCompletionTest(Criterion):
+    name = "RouteCompletionTest"
+    DISTANCE_THRESHOLD = 10.0
+
+    def __init__(self, route: Sequence[Transform]):
+        super().__init__()
+        self._points = np.array([[t.location.x, t.location.y]
+                                 for t in route])
+        seg = np.diff(self._points, axis=0)
+        self._cum = np.concatenate(
+            [[0.0], np.cumsum(np.linalg.norm(seg, axis=1))])
+        self._total = max(self._cum[-1], 1e-6)
+        self._index = 0
+        self.percentage = 0.0
+        self._done = False
+
+    def update(self, sim: ReplaySimulation) -> None:
+        if self._done:
+            return
+        ego = np.array([sim.ego_transform.location.x,
+                        sim.ego_transform.location.y])
+        # advance monotonically along the route within a search window
+        window = slice(self._index, min(self._index + 200,
+                                        len(self._points)))
+        d = np.linalg.norm(self._points[window] - ego, axis=1)
+        best = int(np.argmin(d)) + self._index
+        if d[best - self._index] < self.DISTANCE_THRESHOLD:
+            self._index = best
+            self.percentage = 100.0 * self._cum[best] / self._total
+        if self.percentage > 99.0 or best >= len(self._points) - 2:
+            self._done = True
+            self.percentage = 100.0
+            self.events.append(TrafficEvent(
+                TrafficEventType.ROUTE_COMPLETED,
+                message="Destination was successfully reached"))
+            self.test_status = "SUCCESS"
+
+    def finalize(self) -> None:
+        if not self._done:
+            self.events.append(TrafficEvent(
+                TrafficEventType.ROUTE_COMPLETION,
+                message=f"Agent went off-route or stopped; completed "
+                        f"{self.percentage:.2f}%",
+                dictionary={"route_completed": self.percentage}))
+
+
+class InRouteTest(Criterion):
+    name = "InRouteTest"
+    terminates = True
+    MAX_ROUTE_PERCENTAGE = 30.0
+    WINDOWS_SIZE = 5
+
+    def __init__(self, route: Sequence[Transform],
+                 offroad_max: float = 30.0):
+        super().__init__()
+        self._points = np.array([[t.location.x, t.location.y]
+                                 for t in route])
+        self._offroad_max = offroad_max
+        self.failed = False
+
+    def update(self, sim: ReplaySimulation) -> None:
+        if self.failed:
+            return
+        ego = np.array([sim.ego_transform.location.x,
+                        sim.ego_transform.location.y])
+        d = np.linalg.norm(self._points - ego, axis=1).min()
+        if d > self._offroad_max:
+            self.failed = True
+            self.test_status = "FAILURE"
+            self.events.append(TrafficEvent(
+                TrafficEventType.ROUTE_DEVIATION,
+                message=(f"Agent deviated from the route at (x={ego[0]:.3f}, "
+                         f"y={ego[1]:.3f})"),
+                dictionary={"x": ego[0], "y": ego[1]}))
+
+
+class OutsideRouteLanesTest(Criterion):
+    name = "OutsideRouteLanesTest"
+    ALLOWED_OUT_DISTANCE = 2.0  # lane half-width proxy
+
+    def __init__(self, route: Sequence[Transform]):
+        super().__init__()
+        self._points = np.array([[t.location.x, t.location.y]
+                                 for t in route])
+        self._outside_distance = 0.0
+        self._driven_distance = 0.0
+        self._last: Optional[np.ndarray] = None
+
+    def update(self, sim: ReplaySimulation) -> None:
+        ego = np.array([sim.ego_transform.location.x,
+                        sim.ego_transform.location.y])
+        if self._last is not None:
+            step = float(np.linalg.norm(ego - self._last))
+            self._driven_distance += step
+            d = np.linalg.norm(self._points - ego, axis=1).min()
+            if d > self.ALLOWED_OUT_DISTANCE:
+                self._outside_distance += step
+        self._last = ego
+
+    def finalize(self) -> None:
+        if self._driven_distance > 0 and self._outside_distance > 0:
+            pct = 100.0 * self._outside_distance / self._driven_distance
+            self.events.append(TrafficEvent(
+                TrafficEventType.OUTSIDE_ROUTE_LANES_INFRACTION,
+                message=(f"Agent went outside its route lanes for about "
+                         f"{self._outside_distance:.3f} meters "
+                         f"({pct:.3f}% of the completed route)"),
+                dictionary={"percentage": pct}))
+
+
+class RunningRedLightTest(Criterion):
+    name = "RunningRedLightTest"
+    DISTANCE_LIGHT = 15.0
+
+    def update(self, sim: ReplaySimulation) -> None:
+        ego = sim.ego_transform
+        heading = np.array([
+            math.cos(math.radians(ego.rotation.yaw)),
+            math.sin(math.radians(ego.rotation.yaw))])
+        for light in sim.actors_of_type("traffic_light"):
+            if light.state != "Red":
+                continue
+            delta = np.array([
+                light.transform.location.x - ego.location.x,
+                light.transform.location.y - ego.location.y])
+            dist = np.linalg.norm(delta)
+            key = ("light", light.actor_id)
+            if dist < light.trigger_extent and sim.ego_speed > 0.5 \
+                    and heading @ delta > 0:
+                if key not in [e.get_dict().get("key") for e in self.events]:
+                    self.events.append(TrafficEvent(
+                        TrafficEventType.TRAFFIC_LIGHT_INFRACTION,
+                        message=(f"Agent ran a red light {light.actor_id} at "
+                                 f"(x={light.transform.location.x:.3f}, "
+                                 f"y={light.transform.location.y:.3f})"),
+                        dictionary={"id": light.actor_id, "key": key}))
+                    self.test_status = "FAILURE"
+
+
+class RunningStopTest(Criterion):
+    name = "RunningStopTest"
+    SPEED_THRESHOLD = 0.1
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._pending: dict = {}
+
+    def update(self, sim: ReplaySimulation) -> None:
+        ego = sim.ego_transform
+        for stop in sim.actors_of_type("static.prop.stop"):
+            sid = stop.actor_id
+            delta = np.array([
+                stop.transform.location.x - ego.location.x,
+                stop.transform.location.y - ego.location.y])
+            dist = float(np.linalg.norm(delta))
+            inside = dist < stop.trigger_extent
+            rec = self._pending.setdefault(
+                sid, {"inside": False, "stopped": False, "scored": False})
+            if inside:
+                rec["inside"] = True
+                if sim.ego_speed < self.SPEED_THRESHOLD:
+                    rec["stopped"] = True
+            elif rec["inside"] and not rec["scored"]:
+                rec["scored"] = True
+                if not rec["stopped"]:
+                    self.events.append(TrafficEvent(
+                        TrafficEventType.STOP_INFRACTION,
+                        message=f"Agent ran a stop sign {sid}",
+                        dictionary={"id": sid}))
+                    self.test_status = "FAILURE"
+
+
+class AgentBlockedTest(Criterion):
+    name = "AgentBlockedTest"
+    terminates = True
+    SPEED_THRESHOLD = 0.1
+
+    def __init__(self, max_blocked_seconds: float = 180.0, fps: int = 20):
+        super().__init__()
+        self._max_ticks = int(max_blocked_seconds * fps)
+        self._below = 0
+        self.failed = False
+
+    def update(self, sim: ReplaySimulation) -> None:
+        if self.failed:
+            return
+        if sim.ego_speed < self.SPEED_THRESHOLD:
+            self._below += 1
+            if self._below > self._max_ticks:
+                self.failed = True
+                self.test_status = "FAILURE"
+                loc = sim.ego_transform.location
+                self.events.append(TrafficEvent(
+                    TrafficEventType.VEHICLE_BLOCKED,
+                    message=(f"Agent got blocked at (x={loc.x:.3f}, "
+                             f"y={loc.y:.3f}, z={loc.z:.3f})"),
+                    dictionary={"x": loc.x, "y": loc.y, "z": loc.z}))
+        else:
+            self._below = 0

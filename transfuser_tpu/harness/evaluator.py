@@ -1,0 +1,140 @@
+"""Top-level route evaluator: index -> run -> score -> checkpoint.
+
+Behavioral spec: leaderboard_evaluator_local.py:246-476 — per-route
+agent setup under watchdog, scenario build, run, statistics registration,
+cleanup; crash taxonomy (agent crash recorded + continue; simulation crash
+aborts); --resume via the results-JSON checkpoint.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+import traceback
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..agents.base import AutonomousAgent
+from .route_parser import RouteConfig, RouteIndexer
+from .route_scenario import RouteScenario
+from .scenario_manager import AgentError, ScenarioManager
+from .statistics import StatisticsEngine
+
+
+def default_sensor_feeder(sim, agent: AutonomousAgent) -> None:
+    """Push the backend's frame into the agent's sensor queue, tagged by the
+    agent's declared sensor ids."""
+    frame = sim.sensor_frame()
+    for spec in agent.sensors():
+        tag = spec["id"]
+        stype = spec["type"]
+        if stype == "sensor.camera.rgb":
+            key = {"rgb": "rgb", "rgb_left": "rgb_left",
+                   "rgb_right": "rgb_right", "rgb_back": "rgb"}.get(tag, "rgb")
+            data = frame[key]
+        elif stype == "sensor.lidar.ray_cast":
+            data = frame["lidar"]
+        elif stype == "sensor.other.gnss":
+            data = frame["gps"]
+        elif stype == "sensor.other.imu":
+            data = frame["imu"]
+        elif stype == "sensor.speedometer":
+            data = frame["speed"]
+        elif stype == "sensor.opendrive_map":
+            continue
+        else:
+            continue
+        agent.sensor_interface.update_sensor(tag, data, sim.frame)
+
+
+@dataclass
+class EvaluatorArgs:
+    routes: str
+    scenarios: Optional[str] = None
+    agent_factory: Optional[Callable[[RouteConfig], AutonomousAgent]] = None
+    checkpoint: str = "results.json"
+    resume: bool = False
+    repetitions: int = 1
+    timeout: float = 60.0
+    fps: int = 20
+    max_game_seconds: float = 300.0
+    background_vehicles: int = 0
+
+
+class Evaluator:
+    def __init__(self, args: EvaluatorArgs):
+        self.args = args
+        self.statistics = StatisticsEngine()
+        self.indexer = RouteIndexer(args.routes, args.scenarios,
+                                    args.repetitions)
+        if args.resume:
+            self.indexer.resume(args.checkpoint)
+            self.statistics.resume(args.checkpoint)
+
+    def run(self) -> Dict:
+        args = self.args
+        crashed = False
+        while self.indexer.peek() and not crashed:
+            config = self.indexer.next()
+            crashed = self._run_route(config)
+            self.indexer.save_state(args.checkpoint)
+        if not crashed:
+            global_record = self.statistics.compute_global_statistics(
+                self.indexer.total)
+            self.statistics.save_global_record(
+                global_record, [], self.indexer.total, args.checkpoint)
+            return global_record.to_dict()
+        return {"status": "crashed"}
+
+    def _run_route(self, config: RouteConfig) -> bool:
+        """Returns True on a fatal (simulation-level) crash."""
+        args = self.args
+        self.statistics.set_route(config.route_id, config.index)
+        agent = None
+        try:
+            scenario = RouteScenario(
+                config, fps=args.fps,
+                background_vehicles=args.background_vehicles)
+            agent = args.agent_factory(config)
+            for spec in agent.sensors():
+                agent.sensor_interface.register_sensor(
+                    spec["id"], spec["type"])
+            manager = ScenarioManager(
+                timeout=args.timeout,
+                max_game_seconds=args.max_game_seconds)
+            manager.load_scenario(scenario, agent, default_sensor_feeder)
+            manager.run_scenario()
+            record = self.statistics.compute_route_statistics(
+                config.index, scenario.collect_events(),
+                config.trajectory, manager.duration_system,
+                manager.duration_game, timed_out=manager.timed_out)
+            self.statistics.save_record(record, config.index,
+                                        args.checkpoint)
+            return False
+        except AgentError:
+            traceback.print_exc()
+            record = self.statistics.compute_route_statistics(
+                config.index, [], config.trajectory,
+                failure="Agent crashed")
+            self.statistics.save_record(record, config.index,
+                                        args.checkpoint)
+            return False
+        except Exception:
+            traceback.print_exc()
+            record = self.statistics.compute_route_statistics(
+                config.index, [], config.trajectory,
+                failure="Simulation crashed")
+            self.statistics.save_record(record, config.index,
+                                        args.checkpoint)
+            self.statistics.save_entry_status("Crashed", False,
+                                              args.checkpoint)
+            return True
+        finally:
+            if agent is not None:
+                try:
+                    agent.destroy()
+                except Exception:
+                    pass

@@ -1,0 +1,93 @@
+"""Sensor gather barrier: callbacks from (real or replay) sensors funnel
+into a queue; get_data blocks until every registered sensor delivered the
+current frame.
+
+Behavioral spec: leaderboard/envs/sensor_interface.py:198-243 (queue
+barrier, 10 s timeout -> SensorReceivedNoData, opendrive-map exemption) and
+the threaded pseudo-sensor readers (:16-88).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+
+class SensorConfigurationInvalid(Exception):
+    pass
+
+
+class SensorReceivedNoData(Exception):
+    pass
+
+
+class SensorInterface:
+    def __init__(self, timeout: float = 10.0):
+        self._sensors: Dict[str, Any] = {}
+        self._queue: "queue.Queue" = queue.Queue()
+        self._timeout = timeout
+        self._opendrive_tag: Optional[str] = None
+
+    # --------------------------------------------------------- registration
+    def register_sensor(self, tag: str, sensor_type: str,
+                        sensor: Any = None) -> None:
+        if tag in self._sensors:
+            raise SensorConfigurationInvalid(f"duplicated sensor tag [{tag}]")
+        self._sensors[tag] = sensor
+        if sensor_type == "sensor.opendrive_map":
+            self._opendrive_tag = tag
+
+    # ------------------------------------------------------------ callbacks
+    def update_sensor(self, tag: str, data: Any, frame: int) -> None:
+        if tag not in self._sensors:
+            raise SensorConfigurationInvalid(f"sensor [{tag}] not registered")
+        self._queue.put((tag, frame, data))
+
+    # -------------------------------------------------------------- barrier
+    def get_data(self) -> Dict[str, Tuple[int, Any]]:
+        data_dict: Dict[str, Tuple[int, Any]] = {}
+        deadline = time.monotonic() + self._timeout
+        while len(data_dict) < len(self._sensors):
+            # OpenDRIVE pseudo-sensor may legitimately deliver nothing.
+            if self._opendrive_tag and self._opendrive_tag not in data_dict \
+                    and len(self._sensors) == len(data_dict) + 1:
+                break
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise SensorReceivedNoData(
+                    "A sensor took too long to send its data")
+            try:
+                tag, frame, data = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                raise SensorReceivedNoData(
+                    "A sensor took too long to send its data")
+            data_dict[tag] = (frame, data)
+        return data_dict
+
+
+class BaseReader(threading.Thread):
+    """Daemon thread producing pseudo-sensor readings at a fixed rate
+    (speedometer, opendrive map)."""
+
+    def __init__(self, tag: str, interface: SensorInterface,
+                 read_fn: Callable[[], Any], period: float):
+        super().__init__(daemon=True)
+        self._tag = tag
+        self._interface = interface
+        self._read_fn = read_fn
+        self._period = period
+        self._running = True
+        self._frame = 0
+
+    def run(self) -> None:
+        while self._running:
+            data = self._read_fn()
+            if data is not None:
+                self._interface.update_sensor(self._tag, data, self._frame)
+                self._frame += 1
+            time.sleep(self._period)
+
+    def stop(self) -> None:
+        self._running = False

@@ -1,0 +1,161 @@
+"""Hermetic simulation backend.
+
+Stands in for the CARLA server + TCP client (SURVEY.md §2.10): the same
+harness/agent stack runs against either this backend or a live CARLA
+adapter. Two modes:
+
+  * synthetic: ego integrates a kinematic bicycle model; sensors return
+    procedurally generated frames; scripted NPC actors follow waypoint
+    tracks. Enough to exercise the full evaluator/criteria/scoring path
+    end-to-end without the 10 GB simulator.
+  * replay: sensor dicts recorded from a real run are replayed frame by
+    frame (agent-behavior golden tests).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..geometry import EgoModel
+from .types import BoundingBox, Location, Rotation, Transform, VehicleControl
+
+
+@dataclass
+class Actor:
+    actor_id: int
+    type_id: str  # "vehicle.*" | "walker.*" | "static.*" | "traffic_light"
+    transform: Transform
+    extent: Location = field(default_factory=lambda: Location(2.45, 1.06, 0.75))
+    speed: float = 0.0
+    # scripted path: list of (x, y, yaw_deg) followed at `speed`
+    track: Optional[List[Tuple[float, float, float]]] = None
+    state: str = "Green"  # for traffic lights
+    trigger_extent: float = 5.0
+
+    def location(self) -> Location:
+        return self.transform.location
+
+
+class ReplaySimulation:
+    """World + ego + sensors, stepped synchronously at a fixed rate."""
+
+    def __init__(self, trajectory: Sequence[Transform], fps: int = 20,
+                 actors: Optional[List[Actor]] = None,
+                 recorded_frames: Optional[List[Dict[str, Any]]] = None,
+                 seed: int = 0,
+                 camera_shape: Tuple[int, int] = (480, 960),
+                 lidar_points: int = 2000):
+        self.fps = fps
+        self.dt = 1.0 / fps
+        self.frame = 0
+        self.game_time = 0.0
+        self.trajectory = list(trajectory)
+        self.actors: List[Actor] = actors or []
+        self.recorded = recorded_frames
+        self._rng = np.random.default_rng(seed)
+        self._camera_shape = camera_shape
+        self._lidar_points = lidar_points
+        self._ego_model = EgoModel(dt=self.dt)
+
+        start = self.trajectory[0]
+        self.ego_transform = Transform(
+            Location(start.location.x, start.location.y, start.location.z),
+            Rotation(yaw=start.rotation.yaw))
+        self.ego_speed = 0.0
+        self.ego_extent = Location(2.4508416652679443, 1.0641621351242065,
+                                   0.7553732395172119)
+        self._last_control = VehicleControl()
+        self.collision_events: List[Actor] = []
+
+    # -------------------------------------------------------------- control
+    def apply_control(self, control: VehicleControl) -> None:
+        self._last_control = control.clipped()
+
+    def tick(self) -> int:
+        c = self._last_control
+        loc = np.array([self.ego_transform.location.x,
+                        self.ego_transform.location.y])
+        yaw = np.array([math.radians(self.ego_transform.rotation.yaw)])
+        spd = np.array([self.ego_speed])
+        act = np.array([c.steer, c.throttle, float(c.brake > 0.5)])
+        nloc, nyaw, nspd = self._ego_model.forward(loc, yaw, spd, act)
+        self.ego_transform = Transform(
+            Location(float(nloc[0]), float(nloc[1]),
+                     self.ego_transform.location.z),
+            Rotation(yaw=math.degrees(float(np.ravel(nyaw)[0]))))
+        self.ego_speed = float(np.ravel(nspd)[0])
+
+        self._advance_actors()
+        self._detect_collisions()
+        self.frame += 1
+        self.game_time += self.dt
+        return self.frame
+
+    def _advance_actors(self) -> None:
+        for actor in self.actors:
+            if actor.track:
+                pos = np.array([actor.transform.location.x,
+                                actor.transform.location.y])
+                tgt_idx = min(int(self.game_time * actor.speed),
+                              len(actor.track) - 1)
+                x, y, yaw = actor.track[tgt_idx]
+                actor.transform = Transform(Location(x, y),
+                                            Rotation(yaw=yaw))
+
+    def _detect_collisions(self) -> None:
+        from ..geometry import obb_corners, obb_intersect
+        ego_c = obb_corners(
+            np.array([self.ego_transform.location.x,
+                      self.ego_transform.location.y]),
+            np.array([self.ego_extent.x, self.ego_extent.y]),
+            math.radians(self.ego_transform.rotation.yaw))
+        self.collision_events = []
+        for actor in self.actors:
+            if actor.type_id.startswith("traffic_light"):
+                continue
+            a_c = obb_corners(
+                np.array([actor.transform.location.x,
+                          actor.transform.location.y]),
+                np.array([actor.extent.x, actor.extent.y]),
+                math.radians(actor.transform.rotation.yaw))
+            if obb_intersect(ego_c, a_c):
+                self.collision_events.append(actor)
+
+    # -------------------------------------------------------------- sensors
+    def sensor_frame(self) -> Dict[str, Any]:
+        """Raw data for the current frame, keyed by canonical sensor kind."""
+        if self.recorded is not None:
+            idx = min(self.frame, len(self.recorded) - 1)
+            return self.recorded[idx]
+        h, w = self._camera_shape
+        frame = {
+            "rgb": self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+            "rgb_left": self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+            "rgb_right": self._rng.integers(0, 255, (h, w, 3),
+                                            dtype=np.uint8),
+            "lidar": self._rng.uniform(
+                -30, 30, (self._lidar_points, 4)).astype(np.float32),
+            "gps": self._gps(),
+            "imu": np.array([0, 0, 9.81, 0, 0, 0,
+                             math.radians(self.ego_transform.rotation.yaw)
+                             + math.pi / 2.0], np.float64),
+            "speed": {"speed": self.ego_speed},
+        }
+        return frame
+
+    def _gps(self) -> np.ndarray:
+        from ..control.route_planner import GPS_CARLA_SCALE
+        lat = self.ego_transform.location.x / GPS_CARLA_SCALE[0]
+        lon = self.ego_transform.location.y / GPS_CARLA_SCALE[1]
+        return np.array([lat, lon, 0.0])
+
+    # ------------------------------------------------------------ inspection
+    def ego_location(self) -> Location:
+        return self.ego_transform.location
+
+    def actors_of_type(self, prefix: str) -> List[Actor]:
+        return [a for a in self.actors if a.type_id.startswith(prefix)]
