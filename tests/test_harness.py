@@ -69,15 +69,13 @@ class OracleAgent(AutonomousAgent):
             self._initialized = True
         gps = input_data["gps"][1][:2]
         from transfuser_tpu.control.route_planner import GPS_CARLA_SCALE
-        pos = np.array(gps) * GPS_CARLA_SCALE
-        compass = input_data["imu"][1][-1]
+        pos = np.array(gps) * GPS_CARLA_SCALE  # GPS-space (-y, x)
+        compass = input_data["imu"][1][-1]     # GPS-frame heading
         speed = input_data["speed"][1]["speed"]
         route = self._planner.run_step(pos)
         target = route[1][0] if len(route) > 1 else route[0][0]
         delta = target - pos
-        # compass = yaw + pi/2 (CARLA GNSS convention used by the backend)
-        yaw = compass - math.pi / 2.0
-        heading = math.atan2(delta[1], delta[0]) - yaw
+        heading = math.atan2(delta[1], delta[0]) - compass
         heading = (heading + math.pi) % (2 * math.pi) - math.pi
         steer = float(np.clip(self._turn.step(heading / math.pi), -1, 1))
         throttle = 0.6 if speed < 5.0 else 0.0

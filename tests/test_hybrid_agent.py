@@ -1,0 +1,113 @@
+"""Closed-loop hermetic test: tiny TransFuser ensemble driving in the
+replay backend through the full evaluator, plus checkpoint round trips."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from transfuser_tpu.data.synthetic import synthetic_batch
+from transfuser_tpu.models import LidarCenterNet
+from transfuser_tpu.train.checkpoint import (list_ensemble_weights,
+                                             load_config_snapshot,
+                                             load_inference_weights,
+                                             save_config_snapshot,
+                                             save_inference_weights)
+
+from helpers import tiny_config
+
+
+def _make_model_dir(tmp_path, n_members=2):
+    cfg = tiny_config()
+    model_dir = str(tmp_path / "model_ckpt")
+    os.makedirs(model_dir, exist_ok=True)
+    save_config_snapshot(model_dir, cfg)
+
+    model = LidarCenterNet(cfg, dtype=jnp.float32)
+    batch = synthetic_batch(cfg, 1, img_hw=(64, 128), lidar_hw=(64, 64),
+                            bev_hw=(40, 40))
+    for m in range(n_members):
+        variables = jax.jit(lambda rngs, b: model.init(
+            rngs, b["rgb"], b["lidar"], b["target_point"],
+            b["target_point_image"], b["speed"], train=False))(
+            {"params": jax.random.PRNGKey(m),
+             "dropout": jax.random.PRNGKey(100 + m)}, batch)
+        save_inference_weights(
+            os.path.join(model_dir, f"model_{m}.msgpack"),
+            jax.device_get(variables))
+    return cfg, model_dir
+
+
+def test_config_snapshot_roundtrip(tmp_path):
+    cfg, model_dir = _make_model_dir(tmp_path, n_members=1)
+    loaded = load_config_snapshot(model_dir)
+    assert loaded.model.backbone == cfg.model.backbone
+    assert loaded.sensors.img_resolution == (64, 128)
+    assert loaded.model.gpt.n_layer == cfg.model.gpt.n_layer
+    assert len(list_ensemble_weights(model_dir)) == 1
+
+
+def test_hybrid_agent_closed_loop(tmp_path):
+    cfg, model_dir = _make_model_dir(tmp_path, n_members=2)
+
+    from transfuser_tpu.agents.hybrid_agent import HybridAgent
+    from transfuser_tpu.harness.evaluator import (Evaluator, EvaluatorArgs,
+                                                  default_sensor_feeder)
+
+    routes = str(tmp_path / "routes.xml")
+    with open(routes, "w") as f:
+        f.write("""<?xml version='1.0' encoding='UTF-8'?>
+<routes><route id="0" town="Town01">
+  <waypoint x="0.0" y="0.0" z="0.0" pitch="0" roll="0" yaw="0"/>
+  <waypoint x="40.0" y="0.0" z="0.0" pitch="0" roll="0" yaw="0"/>
+</route></routes>""")
+
+    args = EvaluatorArgs(
+        routes=routes, scenarios=None,
+        checkpoint=str(tmp_path / "results.json"),
+        agent_factory=lambda c: HybridAgent(model_dir),
+        max_game_seconds=4.0,  # a few dozen model steps
+        timeout=600.0)
+    ev = Evaluator(args)
+    result = ev.run()
+
+    data = json.load(open(str(tmp_path / "results.json")))
+    rec = data["_checkpoint"]["records"][0]
+    # Untrained net: we don't expect it to drive, only that the whole
+    # pipeline (sensors -> jitted ensemble -> NMS -> PID -> control ->
+    # criteria -> score) runs and produces a well-formed record.
+    assert "Agent" not in rec["status"] or rec["status"] == "Started"
+    assert rec["scores"]["score_penalty"] <= 1.0
+    assert data["labels"][0] == "Avg. driving score"
+
+
+def test_agent_action_repeat_and_buffers(tmp_path):
+    cfg, model_dir = _make_model_dir(tmp_path, n_members=1)
+    from transfuser_tpu.agents.hybrid_agent import HybridAgent
+    from transfuser_tpu.harness.route_parser import location_route_to_gps, \
+        RoadOption
+    from transfuser_tpu.sim.replay import ReplaySimulation
+    from transfuser_tpu.sim.types import Location, Rotation, Transform
+
+    agent = HybridAgent(model_dir)
+    traj = [Transform(Location(float(x), 0.0)) for x in range(0, 100, 10)]
+    plan = location_route_to_gps([(t, RoadOption.LANEFOLLOW) for t in traj])
+    agent.set_global_plan(plan, [(t, RoadOption.LANEFOLLOW) for t in traj])
+    for spec in agent.sensors():
+        agent.sensor_interface.register_sensor(spec["id"], spec["type"])
+
+    sim = ReplaySimulation(traj, fps=20)
+    from transfuser_tpu.harness.evaluator import default_sensor_feeder
+    controls = []
+    for _ in range(4):
+        default_sensor_feeder(sim, agent)
+        controls.append(agent(sim.game_time))
+        sim.tick()
+    # action repeat 2: frames 1 and 2 (0-indexed step 0/1) share the action
+    assert controls[0].steer == controls[1].steer
+    assert controls[0].throttle == controls[1].throttle
+    assert len(agent.gps_buffer) == 4

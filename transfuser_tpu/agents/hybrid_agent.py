@@ -1,0 +1,331 @@
+"""Learned driving agent: jitted ensemble inference + control heuristics.
+
+Behavioral spec (team_code_transfuser/submission_agent.py:34-537):
+  * setup reads the run-config snapshot and loads EVERY model_* checkpoint
+    in the directory as an ensemble member (:84-99),
+  * 3 cameras are center-cropped to 320x160 and concatenated to one
+    160x960 strip, then center-cropped to 160x704 (:184-234, 520-536),
+  * GPS is denoised with a 100-deep buffer rolled forward through the
+    bicycle model (:456-469),
+  * action repeat 2: the model runs every 2nd sim frame (:252-254),
+  * ensemble fusion: waypoint mean then (degenerate, single-aug) median;
+    detection boxes fused by polygon-IoU NMS (:321-339),
+  * stuck/creep logic + LiDAR safety box emergency stop (:284-288,
+    341-390); latentTF uses predicted-box frontal check instead (:396-430).
+
+TPU notes: one jitted forward evaluates the WHOLE ensemble in a single XLA
+program — members are vmapped over stacked parameters, so n nets cost one
+batched forward instead of n serial launches. Both the inference step and
+the host-side control logic hold the 20 Hz / <20 ms p50 budget: static
+shapes everywhere (no recompiles after the first frame).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GlobalConfig
+from ..control.gps import GPSBuffer
+from ..control.nms_ensemble import non_maximum_suppression
+from ..control.pid import PIDController, control_pid
+from ..control.route_planner import RoutePlanner
+from ..control.safety import bb_detected_in_front_of_vehicle, \
+    num_points_in_safety_box
+from ..data import decoders
+from ..data.lidar_np import lidar_to_histogram
+from ..models import LidarCenterNet
+from ..sim.types import VehicleControl
+from ..train.checkpoint import (list_ensemble_weights, load_config_snapshot,
+                                load_inference_weights)
+from .base import AutonomousAgent, Track
+
+
+class HybridAgent(AutonomousAgent):
+    def setup(self, path_to_conf_file: str,
+              route_index: Optional[int] = None) -> None:
+        self.track = Track.SENSORS
+        self.step = -1
+        self.initialized = False
+        self.config_path = path_to_conf_file
+
+        if path_to_conf_file and os.path.isdir(path_to_conf_file):
+            self.config = load_config_snapshot(path_to_conf_file)
+            weight_files = list_ensemble_weights(path_to_conf_file)
+        else:
+            self.config = GlobalConfig()
+            weight_files = []
+
+        cfg = self.config
+        self.backbone = cfg.model.backbone
+        ctrl = cfg.controller
+
+        self.model = LidarCenterNet(cfg, dtype=jnp.bfloat16)
+        self._build_ensemble(weight_files)
+
+        self.gps_buffer = GPSBuffer(maxlen=ctrl.gps_buffer_max_len,
+                                    carla_fps=ctrl.carla_fps)
+        self.bb_buffer: deque = deque(maxlen=1)
+        self.turn_controller = PIDController(ctrl.turn_kp, ctrl.turn_ki,
+                                             ctrl.turn_kd, ctrl.turn_n)
+        self.speed_controller = PIDController(ctrl.speed_kp, ctrl.speed_ki,
+                                              ctrl.speed_kd, ctrl.speed_n)
+        self.stuck_detector = 0
+        self.forced_move = 0
+        self.use_lidar_safe_check = True
+        self.control = VehicleControl(brake=1.0)
+        self.pred_wp: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------- ensemble
+    def _build_ensemble(self, weight_files: List[str]) -> None:
+        """Stack all members' params; a single vmapped jitted program runs
+        the whole ensemble per frame."""
+        cfg = self.config
+        from ..data.synthetic import synthetic_batch
+        example = synthetic_batch(cfg, 1)
+        init_fn = jax.jit(lambda rngs, b: self.model.init(
+            rngs, b["rgb"], b["lidar"], b["target_point"],
+            b["target_point_image"], b["speed"], train=False))
+        template = init_fn(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, example)
+        template = jax.device_get(template)
+
+        if weight_files:
+            members = [load_inference_weights(p, template)
+                       for p in weight_files]
+        else:
+            members = [template]
+        self.model_count = len(members)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+
+        def single_forward(variables, rgb, lidar, tp, tpi, speed):
+            return self.model.apply(variables, rgb, lidar, tp, tpi, speed,
+                                    method="forward_ego")
+
+        ensemble_forward = jax.vmap(single_forward,
+                                    in_axes=(0, None, None, None, None, None))
+
+        @jax.jit
+        def forward(rgb, lidar, tp, tpi, speed):
+            wp, boxes, labels = ensemble_forward(stacked, rgb, lidar, tp,
+                                                 tpi, speed)
+            return wp, boxes, labels
+
+        self._forward = forward
+
+    # -------------------------------------------------------------- sensors
+    def sensors(self) -> List[Dict[str, Any]]:
+        cfg = self.config
+        s = cfg.sensors
+        ctrl = cfg.controller
+        cams = [("rgb_front", s.camera_rot_0), ("rgb_left", s.camera_rot_1),
+                ("rgb_right", s.camera_rot_2)]
+        out: List[Dict[str, Any]] = [
+            {"type": "sensor.camera.rgb",
+             "x": s.camera_pos[0], "y": s.camera_pos[1], "z": s.camera_pos[2],
+             "roll": rot[0], "pitch": rot[1], "yaw": rot[2],
+             "width": s.camera_width, "height": s.camera_height,
+             "fov": s.camera_fov, "id": cam_id}
+            for cam_id, rot in cams
+        ] + [
+            {"type": "sensor.other.imu", "x": 0.0, "y": 0.0, "z": 0.0,
+             "roll": 0.0, "pitch": 0.0, "yaw": 0.0,
+             "sensor_tick": 1.0 / ctrl.carla_fps, "id": "imu"},
+            {"type": "sensor.other.gnss", "x": 0.0, "y": 0.0, "z": 0.0,
+             "roll": 0.0, "pitch": 0.0, "yaw": 0.0, "sensor_tick": 0.01,
+             "id": "gps"},
+            {"type": "sensor.speedometer",
+             "reading_frequency": ctrl.carla_fps, "id": "speed"},
+        ]
+        if self.backbone != "latentTF":  # camera-only method skips LiDAR
+            out.append({
+                "type": "sensor.lidar.ray_cast",
+                "x": s.lidar_pos[0], "y": s.lidar_pos[1], "z": s.lidar_pos[2],
+                "roll": s.lidar_rot[0], "pitch": s.lidar_rot[1],
+                "yaw": s.lidar_rot[2], "id": "lidar"})
+        return out
+
+    # ----------------------------------------------------------------- tick
+    def _init(self) -> None:
+        ctrl = self.config.controller
+        self._route_planner = RoutePlanner(ctrl.route_planner_min_distance,
+                                           ctrl.route_planner_max_distance)
+        self._route_planner.set_route(self._global_plan, gps=True)
+        self.initialized = True
+
+    def _crop_camera(self, img: np.ndarray) -> np.ndarray:
+        """960x480 camera -> center 320x160 crop."""
+        s = self.config.sensors
+        w3 = s.img_width
+        h = s.img_resolution[0]
+        start_x = img.shape[1] // 2 - w3 // 2
+        start_y = img.shape[0] // 2 - h // 2
+        return img[start_y:start_y + h, start_x:start_x + w3]
+
+    def tick(self, input_data: Dict) -> Dict[str, Any]:
+        s = self.config.sensors
+        strip = np.concatenate([
+            self._crop_camera(np.asarray(input_data[cam][1])[:, :, :3])
+            for cam in ("rgb_left", "rgb_front", "rgb_right")], axis=1)
+        # 160x960 -> center 160x704
+        w = s.img_resolution[1]
+        start = strip.shape[1] // 2 - w // 2
+        rgb = strip[:, start:start + w]
+
+        gps = np.asarray(input_data["gps"][1][:2], np.float64)
+        speed = float(input_data["speed"][1]["speed"])
+        compass = float(input_data["imu"][1][-1])
+        if math.isnan(compass):  # CARLA 0.9.10 NaN guard
+            compass = 0.0
+
+        pos = (gps - self._route_planner.mean) * self._route_planner.scale
+        self.gps_buffer.append(pos)
+        denoised = self.gps_buffer.denoised()
+        route = self._route_planner.run_step(denoised)
+        next_wp, next_cmd = route[1] if len(route) > 1 else route[0]
+
+        theta = compass + np.pi / 2.0
+        r = np.array([[np.cos(theta), -np.sin(theta)],
+                      [np.sin(theta), np.cos(theta)]])
+        local_command = r.T @ (np.asarray(next_wp) - denoised)
+
+        result = {"rgb": rgb, "gps": pos, "speed": speed, "compass": compass,
+                  "target_point": local_command,
+                  "next_command": getattr(next_cmd, "value", next_cmd)}
+        if self.backbone != "latentTF":
+            result["lidar"] = np.asarray(input_data["lidar"][1])[:, :3]
+        return result
+
+    # ------------------------------------------------------------- run_step
+    def run_step(self, input_data: Dict, timestamp: float) -> VehicleControl:
+        self.step += 1
+        cfg = self.config
+        ctrl = cfg.controller
+        if not self.initialized:
+            self._init()
+
+        tick_data = self.tick(input_data)
+
+        # Action repeat: reuse the previous action on odd frames.
+        if self.step % ctrl.action_repeat == 1:
+            self.gps_buffer.update(self.control.steer, self.control.throttle,
+                                   self.control.brake > 0.5,
+                                   tick_data["compass"], tick_data["speed"])
+            return self.control
+
+        # ---------------- model inputs (all static shapes)
+        rgb = tick_data["rgb"][None].astype(np.float32)
+        if self.backbone == "latentTF":
+            lidar_bev = np.zeros(
+                (1, cfg.sensors.lidar_resolution_height,
+                 cfg.sensors.lidar_resolution_width, 2), np.float32)
+        else:
+            pts = tick_data["lidar"].copy()
+            pts[:, 1] *= -1.0
+            lidar_bev = lidar_to_histogram(pts)[None]
+        target_point = np.asarray(tick_data["target_point"],
+                                  np.float32)[None]
+        tp_image = decoders.rasterize_target_point(
+            target_point[0], size=cfg.sensors.lidar_resolution_width)[None]
+        speed = np.asarray([tick_data["speed"]], np.float32)
+
+        is_stuck = False
+        if self.stuck_detector > ctrl.stuck_threshold and \
+                self.forced_move < ctrl.creep_duration:
+            is_stuck = True
+            self.forced_move += 1
+
+        wp, boxes, labels = self._forward(
+            jnp.asarray(rgb), jnp.asarray(lidar_bev),
+            jnp.asarray(target_point), jnp.asarray(tp_image),
+            jnp.asarray(speed))
+        wp = np.asarray(wp)            # (n_models, 1, 4, 2)
+        boxes = np.asarray(boxes)      # (n_models, 1, k, 8)
+
+        # ---------------- ensemble fusion
+        pred_wp = wp.mean(axis=0)[0]   # mean over members (then the
+        # reference's median over aug_degrees is a no-op with one degree)
+        member_boxes = [self._metric_boxes(boxes[m, 0])
+                        for m in range(self.model_count)]
+        fused_boxes = non_maximum_suppression(member_boxes,
+                                              ctrl.iou_threshold_nms)
+        self.bb_buffer.append(fused_boxes)
+        self.pred_wp = pred_wp
+
+        # ---------------- control
+        steer, throttle, brake = control_pid(
+            pred_wp, tick_data["speed"], self.turn_controller,
+            self.speed_controller, ctrl, is_stuck=is_stuck,
+            lidar_pos_x=cfg.sensors.lidar_pos[0])
+        if is_stuck and self.forced_move == 1:
+            steer = 0.0  # no steer on the first unblocking frame
+        if brake or is_stuck:
+            steer *= ctrl.steer_damping
+
+        if tick_data["speed"] < 0.1:
+            self.stuck_detector += 1
+        elif not is_stuck:
+            self.stuck_detector = 0
+            self.forced_move = 0
+
+        control = VehicleControl(steer=float(steer), throttle=float(throttle),
+                                 brake=float(brake))
+
+        # ---------------- safety override (only while creeping)
+        if self.use_lidar_safe_check and is_stuck:
+            if self.backbone == "latentTF":
+                danger = bb_detected_in_front_of_vehicle(
+                    fused_boxes, tick_data["speed"], ctrl)
+            else:
+                pts = tick_data["lidar"].copy()
+                pts[:, 1] *= -1.0
+                danger = num_points_in_safety_box(pts, ctrl) > 0
+            if danger:
+                control = VehicleControl(steer=float(steer), throttle=0.0,
+                                         brake=1.0)
+
+        self.control = control
+        self.gps_buffer.update(control.steer, control.throttle,
+                               control.brake > 0.5, tick_data["compass"],
+                               tick_data["speed"])
+        return control
+
+    # ----------------------------------------------------------- box decode
+    def _metric_boxes(self, boxes: np.ndarray
+                      ) -> List[Tuple[np.ndarray, float, float]]:
+        """Decoded (k, 8) image-space boxes -> metric-frame corner tuples
+        (corners(6,2), brake, confidence) above the confidence threshold
+        (model.py:713, 808-843)."""
+        from .. import geometry
+        cfg = self.config
+        cnc = cfg.model.centernet
+        keep = boxes[:, 7] > cnc.bb_confidence_threshold
+        out: List[Tuple[np.ndarray, float, float]] = []
+        t_inv = np.linalg.inv(geometry.lidar_to_bevimage())
+        ppm = cfg.sensors.pixels_per_meter
+        for b in boxes[keep]:
+            x, y, w, h, yaw, speed, brake, conf = b
+            w = w / cnc.bounding_box_divisor / ppm
+            h = h / cnc.bounding_box_divisor / ppm
+            center = t_inv @ np.array([x, y, 1.0])
+            center = center[:2] + np.asarray(cfg.sensors.lidar_pos[:2])
+            center[1] *= -1.0  # back to CARLA right-hand frame
+            local = np.array([
+                [-h, -w], [-h, w], [h, w], [h, -w],
+                [0.0, 0.0], [0.0, h * speed * 0.5]])
+            c, s = np.cos(yaw), np.sin(yaw)
+            rot = np.array([[c, -s], [s, c]])
+            corners = local @ rot.T + center
+            out.append((corners, float(brake), float(conf)))
+        return out
+
+    def destroy(self) -> None:
+        self._forward = None

@@ -24,6 +24,7 @@ class PIDController:
         self.k_i = k_i
         self.k_d = k_d
         self.window: deque = deque([0.0] * n, maxlen=n)
+        self._saved: deque = deque(self.window, maxlen=n)
 
     def step(self, error: float) -> float:
         self.window.append(error)

@@ -33,8 +33,17 @@ def default_sensor_feeder(sim, agent: AutonomousAgent) -> None:
         stype = spec["type"]
         if stype == "sensor.camera.rgb":
             key = {"rgb": "rgb", "rgb_left": "rgb_left",
-                   "rgb_right": "rgb_right", "rgb_back": "rgb"}.get(tag, "rgb")
+                   "rgb_right": "rgb_right", "rgb_back": "rgb",
+                   "rgb_front": "rgb"}.get(tag, "rgb")
             data = frame[key]
+            h, w = spec.get("height"), spec.get("width")
+            if h and data.shape[:2] != (h, w):
+                data = np.resize(data, (h, w, 3))
+        elif stype in ("sensor.camera.semantic_segmentation",
+                       "sensor.camera.depth"):
+            h, w = spec.get("height", 160), spec.get("width", 320)
+            ch = 1 if stype.endswith("segmentation") else 3
+            data = np.zeros((h, w, ch), np.uint8)
         elif stype == "sensor.lidar.ray_cast":
             data = frame["lidar"]
         elif stype == "sensor.other.gnss":
@@ -99,6 +108,9 @@ class Evaluator:
                 config, fps=args.fps,
                 background_vehicles=args.background_vehicles)
             agent = args.agent_factory(config)
+            if hasattr(agent, "sim"):
+                # privileged agents (expert/datagen) get world access
+                agent.sim = scenario.sim
             for spec in agent.sensors():
                 agent.sensor_interface.register_sensor(
                     spec["id"], spec["type"])

@@ -189,15 +189,27 @@ def downsample_route(route: List[Tuple[Transform, RoadOption]],
 
 def location_route_to_gps(route: List[Tuple[Transform, RoadOption]]
                           ) -> List[Tuple[dict, RoadOption]]:
-    """Transforms -> {lat, lon, z} with CARLA 9.10 equirectangular scale
-    (route_manipulation.py:12-45; inverse of control/route_planner.py)."""
+    """Transforms -> {lat, lon, z} with the CARLA 9.10 convention
+    (route_manipulation.py:12-45): lat ~ -y/scale, lon ~ x/scale, so
+    GPS-space positions are (-y, x) and the IMU compass (= yaw + pi/2) is
+    the GPS-frame heading — the identities every agent formula relies on."""
     from ..control.route_planner import GPS_CARLA_SCALE
     out = []
     for tf, option in route:
-        lat = tf.location.x / GPS_CARLA_SCALE[0]
-        lon = tf.location.y / GPS_CARLA_SCALE[1]
+        lat = -tf.location.y / GPS_CARLA_SCALE[0]
+        lon = tf.location.x / GPS_CARLA_SCALE[1]
         out.append(({"lat": lat, "lon": lon, "z": tf.location.z}, option))
     return out
+
+
+def gps_to_location_xy(gps_pos: np.ndarray) -> np.ndarray:
+    """GPS-space (-y, x) -> world (x, y)."""
+    return np.array([gps_pos[1], -gps_pos[0]])
+
+
+def location_xy_to_gps(world_xy: np.ndarray) -> np.ndarray:
+    """World (x, y) -> GPS-space (-y, x)."""
+    return np.array([-world_xy[1], world_xy[0]])
 
 
 # ------------------------------------------------------------------ indexer

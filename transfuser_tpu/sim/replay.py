@@ -35,6 +35,12 @@ class Actor:
     track: Optional[List[Tuple[float, float, float]]] = None
     state: str = "Green"  # for traffic lights
     trigger_extent: float = 5.0
+    # privileged dynamic state the expert reads (autopilot.py:560-670)
+    control: VehicleControl = field(default_factory=VehicleControl)
+    direction: Tuple[float, float, float] = (1.0, 0.0, 0.0)  # walkers
+    # traffic-light / stop-sign trigger volume (local offset + half extents)
+    trigger_location: Location = field(default_factory=Location)
+    trigger_box: Location = field(default_factory=lambda: Location(2.0, 2.0, 2.0))
 
     def location(self) -> Location:
         return self.transform.location
@@ -48,7 +54,8 @@ class ReplaySimulation:
                  recorded_frames: Optional[List[Dict[str, Any]]] = None,
                  seed: int = 0,
                  camera_shape: Tuple[int, int] = (480, 960),
-                 lidar_points: int = 2000):
+                 lidar_points: int = 2000,
+                 junction_fn=None):
         self.fps = fps
         self.dt = 1.0 / fps
         self.frame = 0
@@ -70,6 +77,13 @@ class ReplaySimulation:
                                    0.7553732395172119)
         self._last_control = VehicleControl()
         self.collision_events: List[Actor] = []
+        self._junction_fn = junction_fn
+
+    def is_junction(self, location: Location) -> bool:
+        """Map query stand-in (the live adapter asks the OpenDRIVE map)."""
+        if self._junction_fn is None:
+            return False
+        return bool(self._junction_fn(location))
 
     # -------------------------------------------------------------- control
     def apply_control(self, control: VehicleControl) -> None:
@@ -98,13 +112,19 @@ class ReplaySimulation:
     def _advance_actors(self) -> None:
         for actor in self.actors:
             if actor.track:
-                pos = np.array([actor.transform.location.x,
-                                actor.transform.location.y])
                 tgt_idx = min(int(self.game_time * actor.speed),
                               len(actor.track) - 1)
                 x, y, yaw = actor.track[tgt_idx]
                 actor.transform = Transform(Location(x, y),
                                             Rotation(yaw=yaw))
+            elif actor.type_id.startswith("walker") and actor.speed > 0:
+                # walkers integrate their control direction
+                loc = actor.transform.location
+                actor.transform = Transform(
+                    Location(loc.x + actor.direction[0] * actor.speed * self.dt,
+                             loc.y + actor.direction[1] * actor.speed * self.dt,
+                             loc.z),
+                    actor.transform.rotation)
 
     def _detect_collisions(self) -> None:
         from ..geometry import obb_corners, obb_intersect
@@ -148,9 +168,10 @@ class ReplaySimulation:
         return frame
 
     def _gps(self) -> np.ndarray:
+        # CARLA 9.10 convention: lat ~ -y, lon ~ x (route_manipulation.py).
         from ..control.route_planner import GPS_CARLA_SCALE
-        lat = self.ego_transform.location.x / GPS_CARLA_SCALE[0]
-        lon = self.ego_transform.location.y / GPS_CARLA_SCALE[1]
+        lat = -self.ego_transform.location.y / GPS_CARLA_SCALE[0]
+        lon = self.ego_transform.location.x / GPS_CARLA_SCALE[1]
         return np.array([lat, lon, 0.0])
 
     # ------------------------------------------------------------ inspection
