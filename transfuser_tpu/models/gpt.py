@@ -51,12 +51,17 @@ class SelfAttention(nn.Module):
         q = q.reshape(b, t, self.n_head, hs)
         k = k.reshape(b, t, self.n_head, hs)
         v = v.reshape(b, t, self.n_head, hs)
-        att = jnp.einsum("bthd,bshd->bhts", q, k,
-                         preferred_element_type=jnp.float32)
-        att = att * (1.0 / jnp.sqrt(jnp.asarray(hs, jnp.float32)))
-        att = nn.softmax(att, axis=-1).astype(self.dtype)
-        att = nn.Dropout(self.attn_pdrop, deterministic=not train)(att)
-        y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, c)
+        if train and self.attn_pdrop > 0.0:
+            # training path keeps explicit probs for attention dropout
+            att = jnp.einsum("bthd,bshd->bhts", q, k,
+                             preferred_element_type=jnp.float32)
+            att = att * (1.0 / jnp.sqrt(jnp.asarray(hs, jnp.float32)))
+            att = nn.softmax(att, axis=-1).astype(self.dtype)
+            att = nn.Dropout(self.attn_pdrop, deterministic=False)(att)
+            y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, c)
+        else:
+            from ..ops.attention import attention
+            y = attention(q, k, v).reshape(b, t, c)
         y = _dense(c, self.init_std, self.dtype, ("heads", "embed"), "proj")(y)
         return nn.Dropout(self.resid_pdrop, deterministic=not train)(y)
 

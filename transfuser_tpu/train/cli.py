@@ -1,0 +1,178 @@
+"""Training CLI (the reference train.py:30-211 surface, TPU-native).
+
+torchrun/DDP/NCCL initialization is replaced by a jax Mesh: single-host
+multi-chip works out of the box (`--mesh_data=jax.device_count()`);
+multi-host adds `jax.distributed.initialize()` (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train TransFuser-TPU")
+    p.add_argument("--id", type=str, default="transfuser",
+                   help="Unique experiment identifier.")
+    p.add_argument("--epochs", type=int, default=41)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=12,
+                   help="Per-chip batch size; global = batch_size * n_data")
+    p.add_argument("--logdir", type=str, default="log")
+    p.add_argument("--load_epoch", type=int, default=None,
+                   help="Checkpoint epoch to resume from.")
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--setting", type=str, default="all",
+                   choices=["all", "02_05_withheld"])
+    p.add_argument("--root_dir", type=str, required=True)
+    p.add_argument("--schedule", type=int, default=1)
+    p.add_argument("--schedule_reduce_epoch_01", type=int, default=30)
+    p.add_argument("--schedule_reduce_epoch_02", type=int, default=40)
+    p.add_argument("--backbone", type=str, default="transFuser",
+                   choices=["transFuser", "late_fusion", "geometric_fusion",
+                            "latentTF"])
+    p.add_argument("--image_architecture", type=str, default="regnety_032")
+    p.add_argument("--lidar_architecture", type=str, default="regnety_032")
+    p.add_argument("--use_velocity", type=int, default=0)
+    p.add_argument("--n_layer", type=int, default=4)
+    p.add_argument("--wp_only", type=int, default=0)
+    p.add_argument("--use_target_point_image", type=int, default=1)
+    p.add_argument("--use_point_pillars", type=int, default=0)
+    p.add_argument("--val_every", type=int, default=5)
+    p.add_argument("--no_bev_loss", type=int, default=0)
+    p.add_argument("--sync_batch_norm", type=int, default=1,
+                   help="Global batch-norm stats (free under GSPMD).")
+    p.add_argument("--zero_redundancy_optimizer", type=int, default=1)
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="Data-parallel axis size; 0 = all devices.")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="Tensor-parallel axis size for the fusion GPT.")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def config_from_args(args: argparse.Namespace):
+    from ..config import GlobalConfig
+
+    cfg = GlobalConfig(root_dir=args.root_dir, setting=args.setting)
+    gpt = dataclasses.replace(cfg.model.gpt, n_layer=args.n_layer)
+    model = dataclasses.replace(
+        cfg.model, backbone=args.backbone,
+        image_architecture=args.image_architecture,
+        lidar_architecture=args.lidar_architecture,
+        use_velocity=bool(args.use_velocity),
+        use_target_point_image=bool(args.use_target_point_image),
+        point_pillars=dataclasses.replace(
+            cfg.model.point_pillars,
+            use_point_pillars=bool(args.use_point_pillars)),
+        gpt=gpt)
+    weights = list(cfg.loss.detailed_losses_weights)
+    if args.wp_only:
+        weights = [1.0] + [0.0] * (len(weights) - 1)
+    if args.no_bev_loss:
+        weights[cfg.loss.detailed_losses.index("loss_bev")] = 0.0
+    loss = dataclasses.replace(
+        cfg.loss, detailed_losses_weights=tuple(weights))
+    train = dataclasses.replace(
+        cfg.train, lr=args.lr, epochs=args.epochs,
+        batch_size=args.batch_size,
+        schedule_reduce_epoch_01=args.schedule_reduce_epoch_01
+        if args.schedule else 10 ** 9,
+        schedule_reduce_epoch_02=args.schedule_reduce_epoch_02
+        if args.schedule else 10 ** 9,
+        val_every=args.val_every,
+        zero_redundancy_optimizer=bool(args.zero_redundancy_optimizer),
+        seed=args.seed)
+    return cfg.replace(model=model, loss=loss, train=train)
+
+
+def main(argv: Optional[list] = None) -> None:
+    import jax
+
+    from ..data.dataset import CarlaDataset
+    from ..data.loader import PrefetchLoader
+    from ..parallel import sharding as shd
+    from .checkpoint import (restore_checkpoint, save_checkpoint,
+                             save_config_snapshot)
+    from .trainer import Trainer
+
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+    logdir = os.path.join(args.logdir, args.id)
+    os.makedirs(logdir, exist_ok=True)
+    save_config_snapshot(logdir, cfg)
+    with open(os.path.join(logdir, "args.txt"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(logdir)
+    except Exception:
+        writer = None
+
+    n_devices = jax.device_count()
+    n_data = args.mesh_data or (n_devices // max(args.mesh_model, 1))
+    mesh = None
+    if n_data * args.mesh_model > 1:
+        mesh = shd.make_mesh(shd.MeshSpec(data=n_data,
+                                          model=args.mesh_model))
+    print(f"devices={n_devices} mesh=({n_data}x{args.mesh_model})")
+
+    train_dirs, val_dirs = cfg.resolve_splits()
+    train_set = CarlaDataset(train_dirs, cfg)
+    val_set = CarlaDataset(val_dirs, cfg, augment=False)
+    global_batch = args.batch_size * n_data
+    print(f"train samples={len(train_set)} val={len(val_set)} "
+          f"global_batch={global_batch}")
+
+    steps_per_epoch = max(1, len(train_set) // global_batch)
+    trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=steps_per_epoch)
+
+    train_loader = PrefetchLoader(train_set, global_batch, shuffle=True,
+                                  num_workers=args.num_workers,
+                                  seed=args.seed)
+    val_loader = PrefetchLoader(val_set, global_batch, shuffle=False,
+                                num_workers=args.num_workers)
+
+    example = next(iter(train_loader))
+    trainer.init_state(example, seed=args.seed)
+    if args.load_epoch is not None:
+        trainer.state = restore_checkpoint(logdir, args.load_epoch,
+                                           trainer.state)
+        print(f"resumed from epoch {args.load_epoch}")
+
+    for epoch in range(args.start_epoch, args.epochs):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        metrics = trainer.train_epoch(iter(train_loader))
+        dt = time.time() - t0
+        sps = len(train_set) / max(dt, 1e-9)
+        print(f"epoch {epoch}: loss={metrics.get('loss_total', 0):.4f} "
+              f"({sps:.1f} samples/s)")
+        if writer:
+            for k, v in metrics.items():
+                writer.add_scalar(k, v, epoch + 1)
+            writer.add_scalar("samples_per_sec", sps, epoch + 1)
+
+        if args.setting != "all" and epoch % args.val_every == 0 \
+                and len(val_set) > 0:
+            val_metrics = trainer.validate(iter(val_loader))
+            print(f"epoch {epoch}: val_loss="
+                  f"{val_metrics.get('val_loss_total', 0):.4f}")
+            if writer:
+                for k, v in val_metrics.items():
+                    writer.add_scalar(k, v, epoch + 1)
+
+        save_checkpoint(logdir, trainer.state, epoch + 1)
+
+
+if __name__ == "__main__":
+    main()
