@@ -51,9 +51,17 @@ def align_lidar(lidar: np.ndarray, ego_matrix_from: np.ndarray,
     return out.astype(lidar.dtype) if lidar.dtype != np.float64 else out
 
 
-def lidar_to_histogram(lidar: np.ndarray) -> np.ndarray:
+def lidar_to_histogram(lidar: np.ndarray, use_native: bool = True
+                       ) -> np.ndarray:
     """(N, 3+) points -> (256, 256, 2) normalized two-slice histogram, NHWC
-    channel order [above, below] matching the reference's channel stack."""
+    channel order [above, below] matching the reference's channel stack.
+
+    Dispatches to the C fast path (native/fastloader.cpp) when built."""
+    if use_native and lidar.shape[1] >= 4:
+        from .. import native
+        out = native.lidar_histogram(np.ascontiguousarray(lidar[:, :4]))
+        if out is not None:
+            return out
 
     def splat(points: np.ndarray) -> np.ndarray:
         xbins = np.linspace(-X_METERS_MAX, X_METERS_MAX, GRID + 1)
