@@ -24,23 +24,6 @@ from .criteria import (AgentBlockedTest, CollisionTest, Criterion,
 from .route_parser import (RoadOption, RouteConfig, downsample_route,
                            interpolate_trajectory, location_route_to_gps)
 
-# Scenario name -> adversary behavior kind (route_scenario_local.py:56-67
-# maps Scenario1-10 onto srunner classes; the hermetic backend realizes them
-# as scripted actors with equivalent trigger semantics).
-SCENARIO_BEHAVIORS: Dict[str, str] = {
-    "Scenario1": "control_loss",
-    "Scenario2": "follow_leading_vehicle",
-    "Scenario3": "dynamic_object_crossing",
-    "Scenario4": "vehicle_turning_route",
-    "Scenario5": "other_leading_vehicle",
-    "Scenario6": "maneuver_opposite_direction",
-    "Scenario7": "signal_junction_crossing",
-    "Scenario8": "no_signal_junction_crossing",
-    "Scenario9": "no_signal_junction_crossing",
-    "Scenario10": "no_signal_junction_crossing",
-}
-
-
 @dataclass
 class RouteScenario:
     config: RouteConfig
@@ -60,11 +43,14 @@ class RouteScenario:
         self.global_plan_world = [(tf, opt) for tf, opt in sparse]
         self.global_plan_gps = location_route_to_gps(sparse)
 
-        actors = self._build_scenario_actors()
-        actors += self._build_background_traffic()
+        from .scenarios import build_behaviors
+        self.behaviors = build_behaviors(self.config.scenario_configs,
+                                         self.seed)
         self.sim = ReplaySimulation(
-            [tf for tf, _ in self.dense_route], fps=self.fps, actors=actors,
-            seed=self.seed)
+            [tf for tf, _ in self.dense_route], fps=self.fps,
+            actors=self._build_background_traffic(), seed=self.seed)
+        for behavior in self.behaviors:
+            self.sim.actors.extend(behavior.setup(self.sim))
 
         route_tfs = [tf for tf, _ in self.dense_route]
         self._completion = RouteCompletionTest(route_tfs)
@@ -80,36 +66,6 @@ class RouteScenario:
         ]
 
     # ------------------------------------------------------------- actors
-    def _build_scenario_actors(self) -> List[Actor]:
-        actors: List[Actor] = []
-        next_id = 1000
-        for sc in self.config.scenario_configs:
-            behavior = SCENARIO_BEHAVIORS.get(sc["scenario_type"])
-            if behavior is None:
-                continue
-            trigger: Transform = sc["trigger_position"]
-            # Adversary placed near the trigger; crossing scenarios get a
-            # track cutting the route.
-            offset = 8.0
-            yaw = trigger.rotation.yaw
-            dx = offset * math.cos(math.radians(yaw + 90.0))
-            dy = offset * math.sin(math.radians(yaw + 90.0))
-            kind = "walker.pedestrian.0001" \
-                if behavior == "dynamic_object_crossing" else \
-                "vehicle.adversary"
-            actor = Actor(
-                actor_id=next_id, type_id=kind,
-                transform=Transform(
-                    Location(trigger.location.x + dx,
-                             trigger.location.y + dy, 0.0),
-                    Rotation(yaw=yaw - 90.0)),
-                extent=Location(0.4, 0.4, 1.0) if kind.startswith("walker")
-                else Location(2.4, 1.0, 0.75),
-                speed=0.0)
-            actors.append(actor)
-            next_id += 1
-        return actors
-
     def _build_background_traffic(self) -> List[Actor]:
         """Dense-traffic spawning (route_scenario_local.py:449-467 uses 500
         vehicles for Longest6); here parked along offsets of the route."""
@@ -134,6 +90,8 @@ class RouteScenario:
 
     # ------------------------------------------------------------ lifecycle
     def tick_criteria(self) -> None:
+        for behavior in self.behaviors:
+            behavior.tick(self.sim)
         for c in self.criteria:
             c.update(self.sim)
 
