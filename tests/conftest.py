@@ -15,8 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
     # 8 virtual devices; generous collective timeouts because all 8 device
     # programs time-share this box's few cores (the default 40 s rendezvous
     # termination aborts the process under contention).
+    # concurrency_optimized_scheduler=false: the concurrent thunk scheduler
+    # issues independent collectives in device-dependent order, which
+    # deadlocks XLA:CPU's blocking in-process rendezvous on small hosts.
+    # Sequential per-device issue order keeps SPMD collectives aligned.
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
+        " --xla_cpu_enable_concurrency_optimized_scheduler=false"
         " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
         " --xla_cpu_collective_call_terminate_timeout_seconds=3600").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
