@@ -79,8 +79,9 @@ def test_hybrid_agent_closed_loop(tmp_path):
     rec = data["_checkpoint"]["records"][0]
     # Untrained net: we don't expect it to drive, only that the whole
     # pipeline (sensors -> jitted ensemble -> NMS -> PID -> control ->
-    # criteria -> score) runs and produces a well-formed record.
-    assert "Agent" not in rec["status"] or rec["status"] == "Started"
+    # criteria -> score) runs without crashing; timing out / getting
+    # blocked are legitimate outcomes for random weights.
+    assert "crashed" not in rec["status"].lower(), rec["status"]
     assert rec["scores"]["score_penalty"] <= 1.0
     assert data["labels"][0] == "Avg. driving score"
 

@@ -230,7 +230,8 @@ class HybridAgent(AutonomousAgent):
         else:
             pts = tick_data["lidar"].copy()
             pts[:, 1] *= -1.0
-            lidar_bev = lidar_to_histogram(pts)[None]
+            lidar_bev = lidar_to_histogram(
+                pts, grid=cfg.sensors.lidar_resolution_width)[None]
         target_point = np.asarray(tick_data["target_point"],
                                   np.float32)[None]
         tp_image = decoders.rasterize_target_point(

@@ -51,21 +51,23 @@ def align_lidar(lidar: np.ndarray, ego_matrix_from: np.ndarray,
     return out.astype(lidar.dtype) if lidar.dtype != np.float64 else out
 
 
-def lidar_to_histogram(lidar: np.ndarray, use_native: bool = True
-                       ) -> np.ndarray:
-    """(N, 3+) points -> (256, 256, 2) normalized two-slice histogram, NHWC
-    channel order [above, below] matching the reference's channel stack.
+def lidar_to_histogram(lidar: np.ndarray, use_native: bool = True,
+                       grid: int = GRID) -> np.ndarray:
+    """(N, 3+) points -> (grid, grid, 2) normalized two-slice histogram,
+    NHWC channel order [above, below] matching the reference's channel
+    stack. The metric window is fixed (32 m x 32 m); grid != 256 scales
+    pixels-per-meter accordingly (used by small-shape test configs).
 
     Dispatches to the C fast path (native/fastloader.cpp) when built."""
-    if use_native and lidar.shape[1] >= 4:
+    if use_native and grid == GRID and lidar.shape[1] >= 4:
         from .. import native
         out = native.lidar_histogram(np.ascontiguousarray(lidar[:, :4]))
         if out is not None:
             return out
 
     def splat(points: np.ndarray) -> np.ndarray:
-        xbins = np.linspace(-X_METERS_MAX, X_METERS_MAX, GRID + 1)
-        ybins = np.linspace(-Y_METERS_MAX, 0.0, GRID + 1)
+        xbins = np.linspace(-X_METERS_MAX, X_METERS_MAX, grid + 1)
+        ybins = np.linspace(-Y_METERS_MAX, 0.0, grid + 1)
         hist, _, _ = np.histogram2d(points[:, 0], points[:, 1],
                                     bins=(xbins, ybins))
         hist = np.minimum(hist, HIST_MAX_PER_PIXEL)
