@@ -14,12 +14,21 @@ baseline; vs_baseline here is measured_value / 35.0.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:  # persistent compile cache across bench invocations
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 A100_BASELINE_SAMPLES_PER_SEC = 35.0
 

@@ -110,16 +110,12 @@ class HybridAgent(AutonomousAgent):
             return self.model.apply(variables, rgb, lidar, tp, tpi, speed,
                                     method="forward_ego")
 
-        ensemble_forward = jax.vmap(single_forward,
-                                    in_axes=(0, None, None, None, None, None))
-
-        @jax.jit
-        def forward(rgb, lidar, tp, tpi, speed):
-            wp, boxes, labels = ensemble_forward(stacked, rgb, lidar, tp,
-                                                 tpi, speed)
-            return wp, boxes, labels
-
-        self._forward = forward
+        ensemble_forward = jax.jit(jax.vmap(
+            single_forward, in_axes=(0, None, None, None, None, None)))
+        # params enter as an argument (closure-captured arrays would be
+        # baked into the HLO as constants and explode compile time).
+        self._stacked = stacked
+        self._forward = lambda *args: ensemble_forward(self._stacked, *args)
 
     # -------------------------------------------------------------- sensors
     def sensors(self) -> List[Dict[str, Any]]:
