@@ -44,11 +44,17 @@ def main() -> None:
     batch = synthetic_batch(cfg, batch_size)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+    t0 = time.perf_counter()
     state = trainer.init_state(batch)
+    print(f"[bench] init done in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     # Warmup / compile.
+    t0 = time.perf_counter()
     state, m = trainer.train_step(state, batch)
     jax.block_until_ready(m["loss_total"])
+    print(f"[bench] train_step compiled in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     n_steps = 20
     t0 = time.perf_counter()
@@ -57,25 +63,31 @@ def main() -> None:
     jax.block_until_ready(m["loss_total"])
     dt = time.perf_counter() - t0
     train_sps = batch_size * n_steps / dt
+    print(f"[bench] {n_steps} steps in {dt:.1f}s -> {train_sps:.1f} "
+          "samples/s", file=sys.stderr, flush=True)
 
-    # Inference latency (batch 1, forward_ego path).
+    # Inference latency (batch 1, forward_ego path). params passed as an
+    # argument — closure capture would bake them into the HLO as constants.
     model = trainer.model
     infer_batch = synthetic_batch(cfg, 1, seed=1)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
-    def forward(rgb, lidar, tp, tpi, speed):
-        return model.apply(variables, rgb, lidar, tp, tpi, speed,
+    def forward(v, rgb, lidar, tp, tpi, speed):
+        return model.apply(v, rgb, lidar, tp, tpi, speed,
                            method="forward_ego")
 
     args = tuple(jnp.asarray(infer_batch[k]) for k in
                  ("rgb", "lidar", "target_point", "target_point_image",
                   "speed"))
-    jax.block_until_ready(forward(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(forward(variables, *args))
+    print(f"[bench] inference compiled in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
     lat = []
     for _ in range(50):
         t0 = time.perf_counter()
-        jax.block_until_ready(forward(*args))
+        jax.block_until_ready(forward(variables, *args))
         lat.append((time.perf_counter() - t0) * 1e3)
     p50 = float(np.percentile(lat, 50))
 
