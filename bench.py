@@ -38,7 +38,7 @@ def main() -> None:
     from transfuser_tpu.data.synthetic import synthetic_batch
     from transfuser_tpu.train.trainer import Trainer
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     cfg = GlobalConfig()
     trainer = Trainer(cfg, mesh=None, dtype=jnp.bfloat16)
     batch = synthetic_batch(cfg, batch_size)

@@ -112,7 +112,8 @@ class LidarCenterNet(nn.Module):
                  bev_points: Optional[jnp.ndarray] = None,
                  cam_points: Optional[jnp.ndarray] = None,
                  num_points: Optional[jnp.ndarray] = None,
-                 train: bool = False) -> Dict[str, jnp.ndarray]:
+                 train: bool = False,
+                 compute_aux: bool = True) -> Dict[str, jnp.ndarray]:
         """Full forward; returns every prediction map (fp32).
 
         rgb: (B,160,704,3) in [0,255]; lidar_bev: (B,256,256,2) histogram
@@ -130,24 +131,26 @@ class LidarCenterNet(nn.Module):
 
         pred_wp = self.wp_gru(fused.astype(jnp.float32), target_point)
 
-        x = nn.relu(self.pred_bev_conv0(pyramid[0]))
-        pred_bev = self.pred_bev_conv1(x).astype(jnp.float32)
-        pred_bev = resize_bilinear(
-            pred_bev,
-            (cfg.bev.bev_resolution_height, cfg.bev.bev_resolution_width),
-            align_corners=True)  # model.py:760 uses align_corners=True
-
         head_preds = self.head(pyramid[0])
-
         out: Dict[str, jnp.ndarray] = {
             "pred_wp": pred_wp,
-            "pred_bev": pred_bev,
             **{f"head_{k}": v for k, v in head_preds.items()},
         }
-        if cfg.model.multitask:
-            out["pred_semantic"] = self.seg_decoder(
-                image_grid).astype(jnp.float32)
-            out["pred_depth"] = self.depth_decoder(image_grid)
+
+        # Aux heads are training/debug-only (the reference's forward_ego
+        # skips pred_bev + seg/depth except under debug, model.py:720-724).
+        if compute_aux:
+            x = nn.relu(self.pred_bev_conv0(pyramid[0]))
+            pred_bev = self.pred_bev_conv1(x).astype(jnp.float32)
+            out["pred_bev"] = resize_bilinear(
+                pred_bev,
+                (cfg.bev.bev_resolution_height,
+                 cfg.bev.bev_resolution_width),
+                align_corners=True)  # model.py:760 uses align_corners=True
+            if cfg.model.multitask:
+                out["pred_semantic"] = self.seg_decoder(
+                    image_grid).astype(jnp.float32)
+                out["pred_depth"] = self.depth_decoder(image_grid)
         return out
 
     def forward_ego(self, rgb: jnp.ndarray, lidar_bev: jnp.ndarray,
@@ -165,7 +168,8 @@ class LidarCenterNet(nn.Module):
         """
         cfg = self.config
         out = self(rgb, lidar_bev, target_point, target_point_image, velocity,
-                   bev_points, cam_points, num_points, train=False)
+                   bev_points, cam_points, num_points, train=False,
+                   compute_aux=False)
         cnc = cfg.model.centernet
         decoded = cn.decode_heatmap(
             out["head_heatmap"], out["head_wh"], out["head_offset"],
