@@ -56,39 +56,81 @@ def _apply_model(model: LidarCenterNet, params, batch_stats, batch,
 
 def make_train_step(model: LidarCenterNet, config: GlobalConfig,
                     tx: optax.GradientTransformation,
-                    donate: bool = True) -> Callable:
-    base_rng = jax.random.PRNGKey(config.train.seed)
+                    donate: bool = False,
+                    split: bool = True) -> Callable:
+    """Build the training step.
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
-                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        rng = jax.random.fold_in(base_rng, state.step)
+    split=True compiles TWO device programs — (forward+backward) and
+    (optimizer update) — chained without host sync. Empirically the
+    monolithic fused program compiles to far slower code on TPU v5e
+    (576 ms/step vs ~30 ms for the split pipeline at batch 64; see
+    PERF_NOTES.md), and each sub-program also compiles minutes faster.
+    """
+    seed = int(config.train.seed)
 
-        def loss_fn(params):
-            out, mutated = _apply_model(model, params, state.batch_stats,
-                                        batch, train=True, dropout_rng=rng)
+    def grad_fn(params, batch_stats, step, batch):
+        # Key derived in-trace from the static seed: a closure-captured
+        # device array would ride along as an extra runtime constant.
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+
+        def loss_fn(p):
+            out, mutated = _apply_model(model, p, batch_stats, batch,
+                                        train=True, dropout_rng=rng)
             detailed = compute_losses(out, batch, config)
             return total_loss(detailed, config), (detailed, mutated)
 
         (loss, (detailed, mutated)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               batch_stats=mutated["batch_stats"],
-                               opt_state=opt_state)
-        metrics = {"loss_total": loss, **detailed}
-        return new_state, metrics
+            loss_fn, has_aux=True)(params)
+        return grads, loss, detailed, mutated["batch_stats"]
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    def update_fn(grads, opt_state, params, step):
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, step + 1
+
+    if not split:
+        def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+            grads, loss, detailed, batch_stats = grad_fn(
+                state.params, state.batch_stats, state.step, batch)
+            params, opt_state, step = update_fn(grads, state.opt_state,
+                                                state.params, state.step)
+            new_state = TrainState(step=step, params=params,
+                                   batch_stats=batch_stats,
+                                   opt_state=opt_state)
+            return new_state, {"loss_total": loss, **detailed}
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    grad_jit = jax.jit(grad_fn)
+    # Donate grads/opt/params into the update so each step recycles the
+    # previous generation's buffers — without donation a deep async
+    # dispatch pipeline pins every generation and exhausts HBM.
+    update_jit = jax.jit(update_fn,
+                         donate_argnums=(0, 1, 2) if donate else ())
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        grads, loss, detailed, batch_stats = grad_jit(
+            state.params, state.batch_stats, state.step, batch)
+        params, opt_state, step = update_jit(grads, state.opt_state,
+                                             state.params, state.step)
+        new_state = TrainState(step=step, params=params,
+                               batch_stats=batch_stats,
+                               opt_state=opt_state)
+        return new_state, {"loss_total": loss, **detailed}
+
+    return train_step
 
 
 def make_eval_step(model: LidarCenterNet, config: GlobalConfig) -> Callable:
+    from .metrics import eval_metrics
+
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]
                   ) -> Dict[str, jnp.ndarray]:
         out, _ = _apply_model(model, state.params, state.batch_stats, batch,
                               train=False)
         detailed = compute_losses(out, batch, config)
-        return {"loss_total": total_loss(detailed, config), **detailed}
+        return {"loss_total": total_loss(detailed, config), **detailed,
+                **eval_metrics(out, batch)}
 
     return jax.jit(eval_step)
 
@@ -130,7 +172,17 @@ class Trainer:
             return create_train_state(variables, self.tx)
 
         if self.mesh is None:
-            self.state = jax.jit(init_fn)(rngs, example_batch)
+            variables = jax.jit(
+                lambda r, batch: self.model.init(
+                    r, batch["rgb"], batch["lidar"], batch["target_point"],
+                    batch.get("target_point_image"), batch.get("speed"),
+                    train=False))(rngs, example_batch)
+            opt_state = jax.jit(self.tx.init)(variables["params"])
+            self.state = TrainState(step=jnp.zeros((), jnp.int32),
+                                    params=variables["params"],
+                                    batch_stats=variables.get("batch_stats",
+                                                              {}),
+                                    opt_state=opt_state)
             return self.state
 
         # Shape-evaluate to plan shardings, then init directly into them.
@@ -159,18 +211,27 @@ class Trainer:
         return jax.device_put(batch, shd.batch_sharding(batch, self.mesh))
 
     # ----------------------------------------------------------------- loops
-    def train_epoch(self, batches: Iterable[Dict[str, np.ndarray]]
-                    ) -> Dict[str, float]:
+    def train_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
+                    fetch_metrics: bool = True) -> Dict[str, float]:
+        """fetch_metrics=False skips per-step device->host metric reads
+        (the axon tunnel runtime corrupts subsequent dispatches after a
+        mid-stream fetch of a computed scalar — PERF_NOTES.md); metrics of
+        the final step are fetched once at epoch end."""
         agg: Dict[str, float] = {}
         n = 0
+        metrics: Dict[str, jnp.ndarray] = {}
         for batch in batches:
             self.state, metrics = self.train_step(self.state,
                                                   self.put_batch(batch))
             n += 1
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            if fetch_metrics:
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
         self.epoch += 1
-        return {k: v / max(n, 1) for k, v in agg.items()}
+        if fetch_metrics:
+            return {k: v / max(n, 1) for k, v in agg.items()}
+        jax.block_until_ready(metrics)
+        return {k: float(v) for k, v in metrics.items()}
 
     def validate(self, batches: Iterable[Dict[str, np.ndarray]]
                  ) -> Dict[str, float]:
