@@ -1,0 +1,132 @@
+"""Coverage for aux modules: sensor validation, demo agents, metrics,
+profiling, visualization, loader sharding."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from transfuser_tpu.agents.base import Track
+from transfuser_tpu.harness.agent_wrapper import (SensorConfigurationInvalid,
+                                                  pinned_lidar_attributes,
+                                                  validate_sensor_configuration)
+
+
+def test_sensor_validation_rules():
+    good = [
+        {"type": "sensor.camera.rgb", "id": "rgb", "x": 1.3, "y": 0, "z": 2.3},
+        {"type": "sensor.other.gnss", "id": "gps"},
+    ]
+    validate_sensor_configuration(good, Track.SENSORS)
+
+    with pytest.raises(SensorConfigurationInvalid):  # duplicate id
+        validate_sensor_configuration(good + [good[0]], Track.SENSORS)
+    with pytest.raises(SensorConfigurationInvalid):  # map-only sensor
+        validate_sensor_configuration(
+            [{"type": "sensor.opendrive_map", "id": "hd"}], Track.SENSORS)
+    validate_sensor_configuration(
+        [{"type": "sensor.opendrive_map", "id": "hd"}], Track.MAP)
+    with pytest.raises(SensorConfigurationInvalid):  # too far out
+        validate_sensor_configuration(
+            [{"type": "sensor.camera.rgb", "id": "far", "x": 20.0}],
+            Track.MAP)
+    with pytest.raises(SensorConfigurationInvalid):  # too many cameras
+        cams = [{"type": "sensor.camera.rgb", "id": f"c{i}"}
+                for i in range(5)]
+        validate_sensor_configuration(cams, Track.SENSORS)
+    # datagen profile allows depth/semantics and higher lidar rate
+    validate_sensor_configuration(
+        [{"type": "sensor.camera.depth", "id": "d"}], Track.MAP,
+        datagen=True)
+    assert pinned_lidar_attributes(True)["points_per_second"] == 1200000
+    assert pinned_lidar_attributes(False)["rotation_frequency"] == 10.0
+
+
+def test_demo_agents_run_hermetically():
+    from transfuser_tpu.agents.demo_agents import DummyAgent, NpcAgent
+    from transfuser_tpu.harness.evaluator import default_sensor_feeder
+    from transfuser_tpu.harness.route_parser import (RoadOption,
+                                                     interpolate_trajectory,
+                                                     location_route_to_gps)
+    from transfuser_tpu.sim.replay import ReplaySimulation
+    from transfuser_tpu.sim.types import Location, Rotation, Transform
+
+    traj = [Transform(Location(float(x), 0.0)) for x in range(0, 100, 10)]
+    dense = interpolate_trajectory(traj)
+    plan = location_route_to_gps(dense[::50])
+
+    for cls in (DummyAgent, NpcAgent):
+        agent = cls()
+        agent.set_global_plan(plan, dense[::50])
+        for spec in agent.sensors():
+            agent.sensor_interface.register_sensor(spec["id"], spec["type"])
+        sim = ReplaySimulation([t for t, _ in dense])
+        for _ in range(5):
+            default_sensor_feeder(sim, agent)
+            control = agent(sim.game_time)
+            sim.apply_control(control)
+            sim.tick()
+        if cls is NpcAgent:
+            assert sim.ego_speed >= 0.0  # moving or at least valid
+
+
+def test_metrics():
+    import jax.numpy as jnp
+    from transfuser_tpu.train.metrics import (heatmap_peak_agreement,
+                                              waypoint_ade, waypoint_fde)
+    pred = jnp.asarray([[[0.0, 0.0], [1.0, 0.0]]])
+    gt = jnp.asarray([[[0.0, 1.0], [1.0, 1.0]]])
+    assert float(waypoint_ade(pred, gt)) == pytest.approx(1.0)
+    assert float(waypoint_fde(pred, gt)) == pytest.approx(1.0)
+    hm_t = jnp.zeros((1, 4, 4, 1)).at[0, 1, 1, 0].set(1.0)
+    hm_p = jnp.zeros((1, 4, 4, 1)).at[0, 1, 1, 0].set(0.9)
+    assert float(heatmap_peak_agreement(hm_p, hm_t)) == 1.0
+    assert float(heatmap_peak_agreement(hm_p * 0.1, hm_t)) == 0.0
+
+
+def test_step_timer():
+    import time
+    from transfuser_tpu.train.profiling import StepTimer
+    t = StepTimer()
+    for _ in range(3):
+        with t.stage("work"):
+            time.sleep(0.005)
+    s = t.summary()
+    assert s["work_p50_ms"] >= 4.0
+    assert t.throughput("work", items_per_step=10) > 0
+
+
+def test_render_model_io(tmp_path):
+    from transfuser_tpu.tools.visualize import render_model_io
+    rng = np.random.default_rng(0)
+    out = render_model_io(
+        str(tmp_path), 0,
+        rgb=rng.uniform(0, 255, (160, 704, 3)),
+        lidar_bev=rng.uniform(0, 1, (256, 256, 2)),
+        target_point=np.array([10.0, 2.0]),
+        pred_wp=rng.uniform(-1, 8, (4, 2)),
+        pred_depth=rng.uniform(0, 1, (160, 704)),
+        pred_semantic=rng.uniform(0, 1, (160, 704, 7)),
+    )
+    assert os.path.exists(out)
+
+
+def test_loader_sharding(tmp_path):
+    from transfuser_tpu.data.loader import PrefetchLoader
+
+    class FakeDataset:
+        def __len__(self):
+            return 40
+
+        def __getitem__(self, i):
+            return {"x": np.array([i], np.int32)}
+
+    a = PrefetchLoader(FakeDataset(), batch_size=2, shuffle=False,
+                       shard_rank=0, shard_count=2, num_workers=2)
+    b = PrefetchLoader(FakeDataset(), batch_size=2, shuffle=False,
+                       shard_rank=1, shard_count=2, num_workers=2)
+    xa = np.concatenate([batch["x"].ravel() for batch in a])
+    xb = np.concatenate([batch["x"].ravel() for batch in b])
+    assert set(xa) & set(xb) == set()
+    assert len(xa) + len(xb) == 40

@@ -28,14 +28,29 @@ def _load_json(path: str):
 
 
 class CarlaDataset:
-    """Index + sample loader. Map-style; thread-safe __getitem__."""
+    """Index + sample loader. Map-style; thread-safe __getitem__.
+
+    cache: None (off), "memory" (in-process dict of decoded samples — only
+    sound with augment=False since augmentation is sampled at decode time),
+    or a directory path for an npz disk cache (the reference's diskcache
+    shared-dict role, data.py:133-197 / train.py:77-91).
+    """
 
     def __init__(self, roots: Sequence[str], config: GlobalConfig,
-                 augment: Optional[bool] = None):
+                 augment: Optional[bool] = None,
+                 cache: Optional[str] = None):
         self.config = config
         self.seq_len = config.model.seq_len
         self.pred_len = config.model.pred_len
         self.augment = config.train.augment if augment is None else augment
+        self.cache = cache
+        self._mem_cache: Dict[int, Dict[str, np.ndarray]] = {}
+        if cache not in (None, "memory") and cache:
+            os.makedirs(cache, exist_ok=True)
+        if cache is not None and self.augment:
+            raise ValueError(
+                "sample cache requires augment=False (augmentation is "
+                "sampled per read)")
         self.frames: List[tuple] = []  # (route_dir, frame_idx)
         for root in roots:
             root = Path(root)
@@ -72,6 +87,22 @@ class CarlaDataset:
 
     # ------------------------------------------------------------- __getitem__
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        if self.cache == "memory" and index in self._mem_cache:
+            return self._mem_cache[index]
+        if self.cache not in (None, "memory") and self.cache:
+            path = os.path.join(self.cache, f"{index}.npz")
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    return {k: z[k] for k in z.files}
+        sample = self._load(index)
+        if self.cache == "memory":
+            self._mem_cache[index] = sample
+        elif self.cache:
+            np.savez_compressed(os.path.join(self.cache, f"{index}.npz"),
+                                **sample)
+        return sample
+
+    def _load(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.config
         route, seq = self.frames[index]
         rng = random.Random()
