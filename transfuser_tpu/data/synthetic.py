@@ -54,4 +54,22 @@ def synthetic_batch(config: GlobalConfig, batch_size: int,
                                  (batch_size, ih, iw)).astype(np.int32),
         "speed": rng.uniform(0, 10, (batch_size,)).astype(np.float32),
     }
+
+    if config.model.backbone == "geometric_fusion":
+        g = config.model.gpt
+        batch["bev_points"] = rng.integers(
+            0, min(g.img_vert_anchors, g.img_horz_anchors),
+            (batch_size, g.lidar_vert_anchors, g.lidar_horz_anchors, 5, 2),
+        ).astype(np.int32)
+        batch["cam_points"] = rng.integers(
+            0, min(g.lidar_vert_anchors, g.lidar_horz_anchors),
+            (batch_size, g.img_vert_anchors, g.img_horz_anchors, 5, 2),
+        ).astype(np.int32)
+
+    if config.model.point_pillars.use_point_pillars:
+        pp = config.model.point_pillars
+        pts = rng.uniform(-20, 20, (batch_size, pp.max_lidar_points, 4))
+        batch["lidar_raw"] = pts.astype(np.float32)
+        batch["num_points"] = np.full((batch_size,), pp.max_lidar_points // 2,
+                                      np.int32)
     return batch
