@@ -122,6 +122,55 @@ def convert_resnet_statedict(state: Mapping[str, Any]
     return params, stats
 
 
+def convert_regnety_statedict(state: Mapping[str, Any]
+                              ) -> Tuple[Dict, Dict]:
+    """timm RegNetY state dict (stem.conv/bn, s{K}.b{J}.conv1/conv2/se/
+    conv3/downsample — timm 0.5.4 regnet.py naming, the exact names the
+    reference checkpoints carry since its module surgery only aliases,
+    transfuser.py:383-393) -> (params, batch_stats) for encoders.RegNetY.
+
+    Grouped convs keep torch's group-blocked channel order, which matches
+    flax feature_group_count semantics, so convert_conv applies unchanged.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    state = {k: _to_numpy(v) for k, v in strip_ddp_prefix(state).items()}
+
+    def put_convbn(src_conv: str, src_bn: str, dst: Tuple[str, ...]) -> None:
+        _set(params, dst + ("Conv_0", "kernel"),
+             convert_conv(state[f"{src_conv}.weight"]))
+        _set(params, dst + ("BatchNorm_0", "scale"), state[f"{src_bn}.weight"])
+        _set(params, dst + ("BatchNorm_0", "bias"), state[f"{src_bn}.bias"])
+        _set(stats, dst + ("BatchNorm_0", "mean"),
+             state[f"{src_bn}.running_mean"])
+        _set(stats, dst + ("BatchNorm_0", "var"),
+             state[f"{src_bn}.running_var"])
+
+    put_convbn("stem.conv", "stem.bn", ("_stem",))
+
+    block_re = re.compile(r"s(\d+)\.b(\d+)\.")
+    blocks = sorted({(int(m.group(1)) - 1, int(m.group(2)) - 1)
+                     for k in state if (m := block_re.match(k))})
+    for stage, block in blocks:
+        src = f"s{stage + 1}.b{block + 1}"
+        dst = (f"_stages_{stage}", f"RegNetYBlock_{block}")
+        put_convbn(f"{src}.conv1.conv", f"{src}.conv1.bn", dst + ("ConvBN_0",))
+        put_convbn(f"{src}.conv2.conv", f"{src}.conv2.bn", dst + ("ConvBN_1",))
+        _set(params, dst + ("SEModule_0", "Conv_0", "kernel"),
+             convert_conv(state[f"{src}.se.fc1.weight"]))
+        _set(params, dst + ("SEModule_0", "Conv_0", "bias"),
+             state[f"{src}.se.fc1.bias"])
+        _set(params, dst + ("SEModule_0", "Conv_1", "kernel"),
+             convert_conv(state[f"{src}.se.fc2.weight"]))
+        _set(params, dst + ("SEModule_0", "Conv_1", "bias"),
+             state[f"{src}.se.fc2.bias"])
+        put_convbn(f"{src}.conv3.conv", f"{src}.conv3.bn", dst + ("ConvBN_2",))
+        if f"{src}.downsample.conv.weight" in state:
+            put_convbn(f"{src}.downsample.conv", f"{src}.downsample.bn",
+                       dst + ("ConvBN_3",))
+    return params, stats
+
+
 def _flat_leaves(tree: Dict, prefix: Tuple[str, ...] = ()):
     out = []
     for k in sorted(tree.keys()):
