@@ -2,18 +2,27 @@
 local accelerator (one TPU chip under the driver).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": samples/sec/chip, "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": samples/sec/chip, "unit": ..., "vs_baseline": ...,
+   "mfu": ..., "p50_inference_ms": ...}
 
-Implementation notes:
-  * The training loop is the split grad/update pipeline (two jitted device
-    programs chained without host sync — see train/trainer.py and
-    PERF_NOTES.md).
-  * No computed value is fetched device->host until all timed loops are
-    done: the axon tunnel runtime deterministically corrupts subsequent
-    dispatches after a mid-stream scalar fetch (PERF_NOTES.md).
-  * Baseline: the reference repo publishes no GPU training throughput
-    (BASELINE.md); vs_baseline divides by an assumed 35 samples/s for torch
-    TransFuser-base on A100 (batch 12, mixed precision).
+Honesty rules (VERDICT round 1 — round-1 numbers were dispatch-rate, not
+execution):
+  * On the axon tunnel runtime, jax.block_until_ready()/is_ready() return
+    at ENQUEUE-ack, long before real execution (measured: an 8192 matmul
+    "completes" in 19 us = 30089% of v5e peak). The ONLY sync that waits
+    for execution is an actual device->host fetch of a computed value
+    (experiments/axon_probe.py). Every timed region here is therefore
+    bracketed by fetching a loss/output scalar computed by the timed work.
+  * MFU is computed from XLA cost_analysis() of the exact compiled
+    programs the Trainer dispatches, and the bench REFUSES to report a
+    throughput that implies more than the chip's peak FLOP rate.
+  * This drives train/trainer.py (the shipped Trainer/step path), not a
+    private re-implementation.
+
+Baseline: the reference repo publishes no GPU training throughput
+(BASELINE.md); vs_baseline divides by an ASSUMED 35 samples/s for torch
+TransFuser-base on A100 — labeled as assumed, MFU is the trustworthy
+number.
 """
 
 from __future__ import annotations
@@ -26,7 +35,6 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 try:  # persistent compile cache across bench invocations
     jax.config.update("jax_compilation_cache_dir",
@@ -36,84 +44,125 @@ try:  # persistent compile cache across bench invocations
 except Exception:
     pass
 
-A100_BASELINE_SAMPLES_PER_SEC = 35.0
+A100_BASELINE_SAMPLES_PER_SEC = 35.0  # ASSUMED (see module docstring)
+
+# bf16 peak FLOP/s per chip, by device-kind substring.
+PEAK_FLOPS = (
+    ("v5 lite", 197e12),  # v5e
+    ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v6", 918e12),       # trillium
+    ("v4", 275e12),
+    ("cpu", 5e11),
+)
+
+
+def chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in PEAK_FLOPS:
+        if key in kind:
+            return peak
+    return 197e12
 
 
 def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def fetch(x) -> float:
+    """Device->host fetch of a computed scalar: the only real sync point
+    on the axon runtime."""
+    return float(np.asarray(x))
+
+
+def program_flops(jitted, *args) -> float:
+    """FLOPs of one invocation from XLA's cost analysis of the compiled
+    module (populates/uses the persistent cache; call BEFORE dispatching
+    through the jit path so the jit call hits the same cache entry)."""
+    t0 = time.perf_counter()
+    compiled = jitted.lower(*args).compile()
+    ca = compiled.cost_analysis() or {}
+    log(f"cost-analysis compile took {time.perf_counter() - t0:.1f}s, "
+        f"flops={ca.get('flops', 0.0):.4g}")
+    return float(ca.get("flops", 0.0))
+
+
 def main() -> None:
     from transfuser_tpu.config import GlobalConfig
     from transfuser_tpu.data.synthetic import synthetic_batch
-    from transfuser_tpu.models import LidarCenterNet
-    from transfuser_tpu.train import losses as L
-    from transfuser_tpu.train.train_state import make_optimizer
+    from transfuser_tpu.train.trainer import Trainer
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    peak = chip_peak_flops()
     cfg = GlobalConfig()
-    model = LidarCenterNet(cfg, dtype=jnp.bfloat16)
+    trainer = Trainer(cfg, dtype=jnp.bfloat16)
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_batch(cfg, batch_size).items()}
 
     t0 = time.perf_counter()
-    variables = jax.jit(lambda r, b: model.init(
-        r, b["rgb"], b["lidar"], b["target_point"],
-        b["target_point_image"], b["speed"], train=False))(
-        {"params": jax.random.PRNGKey(0),
-         "dropout": jax.random.PRNGKey(1)}, batch)
-    tx = make_optimizer(cfg)
-    opt_state = jax.jit(tx.init)(variables["params"])
-    jax.block_until_ready(opt_state)
-    log(f"init done in {time.perf_counter() - t0:.1f}s")
+    state = trainer.init_state(batch)
+    log(f"init dispatched in {time.perf_counter() - t0:.1f}s")
 
-    def grad_fn(params, batch_stats, step, b):
-        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.train.seed), step)
+    # --- FLOPs of the exact train-step programs (also pre-warms the
+    # persistent compile cache so the trainer's own dispatch is fast).
+    grad_jit = trainer.train_step.grad_jit
+    update_jit = trainer.train_step.update_jit
+    flops_grad = program_flops(
+        grad_jit, state.params, state.batch_stats, state.step, batch)
+    grads, loss, detailed, bstats = jax.eval_shape(
+        grad_jit, state.params, state.batch_stats, state.step, batch)
+    flops_update = program_flops(
+        update_jit,
+        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), grads),
+        state.opt_state, state.params, state.step)
+    flops_step = flops_grad + flops_update
+    log(f"train step: {flops_step / 1e12:.3f} TFLOP "
+        f"({flops_step / batch_size / 1e9:.1f} GFLOP/sample)")
 
-        def loss_fn(p):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                b["rgb"], b["lidar"], b["target_point"],
-                b["target_point_image"], b["speed"], train=True,
-                rngs={"dropout": rng}, mutable=["batch_stats"])
-            det = L.compute_losses(out, b, cfg)
-            return L.total_loss(det, cfg), mut
-
-        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params)
-        return grads, loss, mut["batch_stats"]
-
-    def update_fn(grads, o, p, step):
-        updates, o2 = tx.update(grads, o, p)
-        return optax.apply_updates(p, updates), o2, step + 1
-
-    grad_jit = jax.jit(grad_fn)
-    update_jit = jax.jit(update_fn)
-
-    params = variables["params"]
-    batch_stats = variables["batch_stats"]
-    step = jnp.zeros((), jnp.int32)
-
-    # Warmup / compile (no value fetches).
+    # --- Warmup: compile + force REAL execution via a loss fetch.
     t0 = time.perf_counter()
-    grads, loss, batch_stats = grad_jit(params, batch_stats, step, batch)
-    params, opt_state, step = update_jit(grads, opt_state, params, step)
-    jax.block_until_ready(loss)
-    log(f"train step compiled in {time.perf_counter() - t0:.1f}s")
+    state, metrics = trainer.train_step(state, batch)
+    warm_loss = fetch(metrics["loss_total"])
+    log(f"warmup step (compile+exec+fetch) {time.perf_counter() - t0:.1f}s,"
+        f" loss={warm_loss:.4f}")
+    if not np.isfinite(warm_loss):
+        raise RuntimeError(f"non-finite training loss {warm_loss}")
 
+    # --- Timed: every step ends with a fetch of its computed loss, so the
+    # region cannot complete before the chip has executed every step.
     n_steps = 30
+    losses = []
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        grads, loss, batch_stats = grad_jit(params, batch_stats, step, batch)
-        params, opt_state, step = update_jit(grads, opt_state, params, step)
-        jax.block_until_ready(loss)
+        state, metrics = trainer.train_step(state, batch)
+        losses.append(fetch(metrics["loss_total"]))
     dt = time.perf_counter() - t0
     train_sps = batch_size * n_steps / dt
-    log(f"{n_steps} steps in {dt:.1f}s -> {train_sps:.1f} samples/s")
+    mfu = flops_step * n_steps / dt / peak
+    log(f"{n_steps} steps in {dt:.2f}s -> {train_sps:.1f} samples/s, "
+        f"MFU {100 * mfu:.1f}%, loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    if not all(np.isfinite(l) for l in losses):
+        raise RuntimeError("non-finite loss during timed steps")
+    if mfu > 1.0:
+        raise RuntimeError(
+            f"implied FLOP rate {flops_step * n_steps / dt / 1e12:.0f} "
+            f"TFLOP/s exceeds chip peak {peak / 1e12:.0f} TFLOP/s — "
+            "the timing is not observing real execution; refusing to "
+            "report a physically impossible number")
 
-    # Inference latency (batch 1, forward_ego; params passed as args).
+    # --- Per-fetch RTT (input buffer round trip), for context.
+    x = jax.device_put(np.zeros((), np.float32))
+    fetch(x)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        fetch(x)
+    rtt_ms = (time.perf_counter() - t0) * 100.0
+    log(f"device->host RTT ~{rtt_ms:.1f} ms (included in timings above)")
+
+    # --- Inference latency, batch 1 forward_ego.
+    model = trainer.model
     infer_batch = synthetic_batch(cfg, 1, seed=1)
-    infer_vars = {"params": params, "batch_stats": batch_stats}
+    infer_vars = {"params": state.params, "batch_stats": state.batch_stats}
 
     @jax.jit
     def forward(v, rgb, lidar, tp, tpi, speed):
@@ -124,14 +173,44 @@ def main() -> None:
                  ("rgb", "lidar", "target_point", "target_point_image",
                   "speed"))
     t0 = time.perf_counter()
-    jax.block_until_ready(forward(infer_vars, *args))
-    log(f"inference compiled in {time.perf_counter() - t0:.1f}s")
+    out = forward(infer_vars, *args)
+    fetch(jax.tree.leaves(out)[0].sum())
+    log(f"inference compiled+executed in {time.perf_counter() - t0:.1f}s")
+    # e2e latency: dispatch -> waypoints ON HOST (fetch included; that is
+    # what the 20 Hz agent loop pays per frame).
     lat = []
     for _ in range(50):
         t0 = time.perf_counter()
-        jax.block_until_ready(forward(infer_vars, *args))
+        out = forward(infer_vars, *args)
+        np.asarray(out[0])
         lat.append((time.perf_counter() - t0) * 1e3)
-    p50 = float(np.percentile(lat, 50))
+    p50_e2e = float(np.percentile(lat, 50))
+    # chip-side latency: K forwards chained on device (output feeds a
+    # not-foldable epsilon back into the input), one fetch at the end.
+    K = 32
+
+    @jax.jit
+    def chained(v, rgb, lidar, tp, tpi, speed):
+        def body(carry, _):
+            rgb = carry
+            wp, _boxes, _labels = model.apply(v, rgb, lidar, tp, tpi, speed,
+                                              method="forward_ego")
+            eps = (jnp.tanh(wp.sum()) * 1e-24).astype(rgb.dtype)
+            return rgb + eps, wp
+        rgb_out, wps = jax.lax.scan(body, rgb, None, length=K)
+        return wps
+
+    t0 = time.perf_counter()
+    wps = chained(infer_vars, *args)
+    fetch(wps.sum())
+    log(f"chained inference compiled+executed in "
+        f"{time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    wps = chained(infer_vars, *args)
+    fetch(wps.sum())
+    p50_chip = (time.perf_counter() - t0) * 1e3 / K
+    log(f"inference p50: e2e(with host fetch) {p50_e2e:.2f} ms, "
+        f"chip-side {p50_chip:.3f} ms/frame")
 
     result = {
         "metric": "train samples/sec/chip (TransFuser-base); "
@@ -139,7 +218,14 @@ def main() -> None:
         "value": round(train_sps, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(train_sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
-        "p50_inference_ms": round(p50, 2),
+        "baseline_note": "assumed 35 samples/s A100 (none published); "
+                         "mfu is the measured, hardware-normalized number",
+        "mfu": round(mfu, 4),
+        "train_step_tflop": round(flops_step / 1e12, 3),
+        "p50_inference_ms": round(p50_chip, 3),
+        "p50_inference_e2e_host_ms": round(p50_e2e, 2),
+        "loss_first": round(losses[0], 4),
+        "loss_last": round(losses[-1], 4),
         "batch_size": batch_size,
         "device": str(jax.devices()[0]),
     }

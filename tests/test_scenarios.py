@@ -77,9 +77,12 @@ def test_scenario1_control_loss_perturbs_steering():
     steers = []
     for _ in range(20):
         scenario.tick_criteria()
-        steers.append(sim._last_control.steer)
         sim.tick()
-    assert max(abs(s) for s in steers) > 0.0  # noise injected
+        steers.append(sim.applied_control.steer)
+    # noise is injected at the actuation level; the agent's own command
+    # object is never mutated
+    assert max(abs(s) for s in steers) > 0.0
+    assert sim._last_control.steer == 0.0
 
 
 def test_oneshot_trigger_semantics():

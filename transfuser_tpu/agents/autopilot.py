@@ -511,8 +511,16 @@ class AutoPilot(AutonomousAgent):
                 continue
             near_ids.append(stop.actor_id)
             syaw = math.radians(stop.transform.rotation.yaw)
-            trig = np.array([stop.transform.location.x,
-                             stop.transform.location.y])
+            sc_, ss_ = math.cos(syaw), math.sin(syaw)
+            # trigger volume center = pole transform + rotated local offset
+            # (reference transforms trigger_volume.location the same way)
+            trig = np.array([
+                stop.transform.location.x
+                + stop.trigger_location.x * sc_
+                - stop.trigger_location.y * ss_,
+                stop.transform.location.y
+                + stop.trigger_location.x * ss_
+                + stop.trigger_location.y * sc_])
             if _obb3_intersect(ego_xy, ego_extent, ego_yaw, z_iv, trig,
                                np.array([stop.trigger_box.x,
                                          stop.trigger_box.y]), syaw, z_iv):

@@ -63,6 +63,11 @@ class CarlaDataset:
                 if not lidar_dir.is_dir():
                     continue
                 num_seq = len(os.listdir(lidar_dir))
+                # Matches the reference index range exactly
+                # (data.py:57 `range(2, num_seq - pred_len - seq_len - 2)`):
+                # its "skip last two" comment notwithstanding, the exclusive
+                # range end drops one extra trailing frame — kept for
+                # sample-for-sample parity on real data.
                 last = num_seq - self.pred_len - self.seq_len - 2
                 for seq in range(2, last):
                     self.frames.append((str(route), seq))

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--timeout", default=60.0, type=float)
         sp.add_argument("--max-game-seconds", default=300.0, type=float)
         sp.add_argument("--background-vehicles", default=0, type=int)
+        sp.add_argument("--town-map", default=os.environ.get("TOWN_MAP"),
+                        help="procedural road network, e.g. 'grid', "
+                             "'grid:3', 'grid:3x100' (moving traffic + "
+                             "map-true criteria); default: map-less")
         sp.add_argument("--save-path",
                         default=os.environ.get("SAVE_PATH"))
     return p
@@ -88,7 +92,9 @@ def main(argv: Optional[list] = None) -> int:
         checkpoint=args.checkpoint, resume=args.resume,
         repetitions=args.repetitions, timeout=args.timeout,
         max_game_seconds=args.max_game_seconds,
-        background_vehicles=args.background_vehicles))
+        background_vehicles=args.background_vehicles,
+        town_map=args.town_map,
+        datagen=(args.command == "datagen")))
     result = ev.run()
     print(json.dumps(result.get("scores", result), indent=2))
     return 0

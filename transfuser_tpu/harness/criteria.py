@@ -140,16 +140,27 @@ class InRouteTest(Criterion):
 
 
 class OutsideRouteLanesTest(Criterion):
-    name = "OutsideRouteLanesTest"
-    ALLOWED_OUT_DISTANCE = 2.0  # lane half-width proxy
+    """With a town map: outside = not within any lane's paved width
+    (OutsideRouteLanesTest's lane-membership test,
+    atomic_criteria_local.py); without one: distance-to-route proxy."""
 
-    def __init__(self, route: Sequence[Transform]):
+    name = "OutsideRouteLanesTest"
+    ALLOWED_OUT_DISTANCE = 2.0  # lane half-width proxy (no-map fallback)
+
+    def __init__(self, route: Sequence[Transform], town_map=None):
         super().__init__()
         self._points = np.array([[t.location.x, t.location.y]
                                  for t in route])
+        self._map = town_map
         self._outside_distance = 0.0
         self._driven_distance = 0.0
         self._last: Optional[np.ndarray] = None
+
+    def _is_outside(self, ego: np.ndarray) -> bool:
+        if self._map is not None:
+            return not self._map.on_road(float(ego[0]), float(ego[1]))
+        return bool(np.linalg.norm(self._points - ego, axis=1).min()
+                    > self.ALLOWED_OUT_DISTANCE)
 
     def update(self, sim: ReplaySimulation) -> None:
         ego = np.array([sim.ego_transform.location.x,
@@ -157,8 +168,7 @@ class OutsideRouteLanesTest(Criterion):
         if self._last is not None:
             step = float(np.linalg.norm(ego - self._last))
             self._driven_distance += step
-            d = np.linalg.norm(self._points - ego, axis=1).min()
-            if d > self.ALLOWED_OUT_DISTANCE:
+            if step > 0 and self._is_outside(ego):
                 self._outside_distance += step
         self._last = ego
 
@@ -173,12 +183,66 @@ class OutsideRouteLanesTest(Criterion):
                 dictionary={"percentage": pct}))
 
 
+def _segments_cross(a0: np.ndarray, a1: np.ndarray,
+                    b0: np.ndarray, b1: np.ndarray) -> bool:
+    """True if segment a0-a1 intersects b0-b1 (2D orientation test)."""
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if abs(v) < 1e-12 else (1 if v > 0 else -1)
+    o1, o2 = orient(a0, a1, b0), orient(a0, a1, b1)
+    o3, o4 = orient(b0, b1, a0), orient(b0, b1, a1)
+    return o1 != o2 and o3 != o4
+
+
 class RunningRedLightTest(Criterion):
+    """With traffic-light specs (town map): infraction exactly when the
+    ego's motion segment crosses the light's STOP LINE while that light is
+    red — the trigger-volume/stop-line semantics of
+    atomic_criteria_local.py RunningRedLightTest. Without specs: radial
+    proxy on light actors (legacy hermetic behavior)."""
+
     name = "RunningRedLightTest"
     DISTANCE_LIGHT = 15.0
 
+    def __init__(self, light_specs=None, light_actors=None):
+        super().__init__()
+        # light_specs: List[TrafficLightSpec]; light_actors: {light_id:
+        # Actor} holding the live state string.
+        self._specs = list(light_specs or [])
+        self._light_actors = light_actors or {}
+        self._last_ego: Optional[np.ndarray] = None
+        self._scored: set = set()
+
+    def _light_state(self, spec) -> str:
+        actor = self._light_actors.get(spec.light_id)
+        return actor.state if actor is not None else "Red"
+
     def update(self, sim: ReplaySimulation) -> None:
         ego = sim.ego_transform
+        ego_xy = np.array([ego.location.x, ego.location.y])
+        if self._specs:
+            if self._last_ego is not None:
+                for spec in self._specs:
+                    if spec.light_id in self._scored:
+                        continue
+                    if self._light_state(spec) != "Red":
+                        continue
+                    near = spec.trigger.contains(
+                        float(ego_xy[0]), float(ego_xy[1]), margin=3.0)
+                    if not near and not spec.trigger.contains(
+                            float(self._last_ego[0]),
+                            float(self._last_ego[1]), margin=3.0):
+                        continue
+                    if _segments_cross(self._last_ego, ego_xy,
+                                       spec.stop_line[0],
+                                       spec.stop_line[1]):
+                        self._scored.add(spec.light_id)
+                        self._emit(spec.light_id,
+                                   spec.transform.location.x,
+                                   spec.transform.location.y)
+            self._last_ego = ego_xy
+            return
+        # legacy radial proxy (no map)
         heading = np.array([
             math.cos(math.radians(ego.rotation.yaw)),
             math.sin(math.radians(ego.rotation.yaw))])
@@ -189,50 +253,66 @@ class RunningRedLightTest(Criterion):
                 light.transform.location.x - ego.location.x,
                 light.transform.location.y - ego.location.y])
             dist = np.linalg.norm(delta)
-            key = ("light", light.actor_id)
             if dist < light.trigger_extent and sim.ego_speed > 0.5 \
-                    and heading @ delta > 0:
-                if key not in [e.get_dict().get("key") for e in self.events]:
-                    self.events.append(TrafficEvent(
-                        TrafficEventType.TRAFFIC_LIGHT_INFRACTION,
-                        message=(f"Agent ran a red light {light.actor_id} at "
-                                 f"(x={light.transform.location.x:.3f}, "
-                                 f"y={light.transform.location.y:.3f})"),
-                        dictionary={"id": light.actor_id, "key": key}))
-                    self.test_status = "FAILURE"
+                    and heading @ delta > 0 \
+                    and light.actor_id not in self._scored:
+                self._scored.add(light.actor_id)
+                self._emit(light.actor_id, light.transform.location.x,
+                           light.transform.location.y)
+
+    def _emit(self, light_id, x, y) -> None:
+        self.events.append(TrafficEvent(
+            TrafficEventType.TRAFFIC_LIGHT_INFRACTION,
+            message=(f"Agent ran a red light {light_id} at "
+                     f"(x={x:.3f}, y={y:.3f})"),
+            dictionary={"id": light_id, "x": x, "y": y}))
+        self.test_status = "FAILURE"
 
 
 class RunningStopTest(Criterion):
+    """With stop-sign specs: the ego must come to <0.1 m/s while inside the
+    sign's TRIGGER VOLUME; scored when it leaves (RunningStopTest,
+    atomic_criteria_local.py). Without specs: radial proxy on stop actors."""
+
     name = "RunningStopTest"
     SPEED_THRESHOLD = 0.1
 
-    def __init__(self) -> None:
+    def __init__(self, stop_specs=None) -> None:
         super().__init__()
+        self._specs = list(stop_specs or [])
         self._pending: dict = {}
 
     def update(self, sim: ReplaySimulation) -> None:
         ego = sim.ego_transform
+        if self._specs:
+            for spec in self._specs:
+                inside = spec.trigger.contains(ego.location.x,
+                                               ego.location.y)
+                self._score(f"map_stop_{spec.sign_id}", inside,
+                            sim.ego_speed)
+            return
         for stop in sim.actors_of_type("static.prop.stop"):
-            sid = stop.actor_id
             delta = np.array([
                 stop.transform.location.x - ego.location.x,
                 stop.transform.location.y - ego.location.y])
-            dist = float(np.linalg.norm(delta))
-            inside = dist < stop.trigger_extent
-            rec = self._pending.setdefault(
-                sid, {"inside": False, "stopped": False, "scored": False})
-            if inside:
-                rec["inside"] = True
-                if sim.ego_speed < self.SPEED_THRESHOLD:
-                    rec["stopped"] = True
-            elif rec["inside"] and not rec["scored"]:
-                rec["scored"] = True
-                if not rec["stopped"]:
-                    self.events.append(TrafficEvent(
-                        TrafficEventType.STOP_INFRACTION,
-                        message=f"Agent ran a stop sign {sid}",
-                        dictionary={"id": sid}))
-                    self.test_status = "FAILURE"
+            inside = float(np.linalg.norm(delta)) < stop.trigger_extent
+            self._score(stop.actor_id, inside, sim.ego_speed)
+
+    def _score(self, sid, inside: bool, ego_speed: float) -> None:
+        rec = self._pending.setdefault(
+            sid, {"inside": False, "stopped": False, "scored": False})
+        if inside:
+            rec["inside"] = True
+            if ego_speed < self.SPEED_THRESHOLD:
+                rec["stopped"] = True
+        elif rec["inside"] and not rec["scored"]:
+            rec["scored"] = True
+            if not rec["stopped"]:
+                self.events.append(TrafficEvent(
+                    TrafficEventType.STOP_INFRACTION,
+                    message=f"Agent ran a stop sign {sid}",
+                    dictionary={"id": sid}))
+                self.test_status = "FAILURE"
 
 
 class AgentBlockedTest(Criterion):

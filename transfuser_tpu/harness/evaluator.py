@@ -24,6 +24,24 @@ from .scenario_manager import AgentError, ScenarioManager
 from .statistics import StatisticsEngine
 
 
+def _resize_image(data: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear-resize an HxWxC frame to the agent's declared camera shape.
+
+    (np.resize tiles/truncates raw bytes — it is not an image resize; a
+    mismatched sensor declaration must still deliver real pixels.)
+    """
+    try:
+        import cv2
+        out = cv2.resize(data, (w, h), interpolation=cv2.INTER_LINEAR)
+        return out[..., None] if out.ndim == 2 and data.ndim == 3 else out
+    except ImportError:
+        ys = np.clip((np.arange(h) + 0.5) * data.shape[0] / h, 0,
+                     data.shape[0] - 1).astype(np.int64)
+        xs = np.clip((np.arange(w) + 0.5) * data.shape[1] / w, 0,
+                     data.shape[1] - 1).astype(np.int64)
+        return data[ys][:, xs]
+
+
 def default_sensor_feeder(sim, agent: AutonomousAgent) -> None:
     """Push the backend's frame into the agent's sensor queue, tagged by the
     agent's declared sensor ids."""
@@ -38,7 +56,7 @@ def default_sensor_feeder(sim, agent: AutonomousAgent) -> None:
             data = frame[key]
             h, w = spec.get("height"), spec.get("width")
             if h and data.shape[:2] != (h, w):
-                data = np.resize(data, (h, w, 3))
+                data = _resize_image(data, h, w)
         elif stype in ("sensor.camera.semantic_segmentation",
                        "sensor.camera.depth"):
             h, w = spec.get("height", 160), spec.get("width", 320)
@@ -71,6 +89,35 @@ class EvaluatorArgs:
     fps: int = 20
     max_game_seconds: float = 300.0
     background_vehicles: int = 0
+    # "grid", "grid:<blocks>", or "grid:<blocks>x<block_size>": procedural
+    # road network (sim/town_map.py) enabling moving traffic + map-true
+    # criteria; None keeps the map-less legacy backend.
+    town_map: Optional[str] = None
+    datagen: bool = False
+
+
+def build_town_map(spec: Optional[str]):
+    """Resolve an EvaluatorArgs.town_map spec string to a TownMap."""
+    if not spec:
+        return None
+    from ..sim.town_map import grid_town
+    if spec.startswith("grid"):
+        blocks, block_size = 2, 80.0
+        rest = spec[4:].lstrip(":")
+        if rest:
+            if "x" in rest:
+                b, sz = rest.split("x", 1)
+                blocks, block_size = int(b), float(sz)
+            else:
+                blocks = int(rest)
+        # lights at interior intersections, stop signs at edge midpoints
+        interior = [(i, j) for i in range(1, blocks)
+                    for j in range(1, blocks)]
+        edge = [(i, 0) for i in range(1, blocks)] + \
+               [(0, j) for j in range(1, blocks)]
+        return grid_town(blocks=blocks, block_size=block_size,
+                         lights_at=interior or [(0, 0)], stops_at=edge)
+    raise ValueError(f"unknown town map spec: {spec!r}")
 
 
 class Evaluator:
@@ -106,7 +153,9 @@ class Evaluator:
         try:
             scenario = RouteScenario(
                 config, fps=args.fps,
-                background_vehicles=args.background_vehicles)
+                background_vehicles=args.background_vehicles,
+                town_map=build_town_map(args.town_map),
+                datagen=args.datagen)
             agent = args.agent_factory(config)
             if hasattr(agent, "sim"):
                 # privileged agents (expert/datagen) get world access

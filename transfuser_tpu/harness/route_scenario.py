@@ -30,6 +30,15 @@ class RouteScenario:
     fps: int = 20
     background_vehicles: int = 0
     seed: int = 0
+    datagen: bool = False  # datagen profile: no lidar dropoff (wrapper :125)
+    # Optional sim.town_map.TownMap. With a map, background traffic DRIVES
+    # (TrafficManager car-following, red-light compliance — the moving-
+    # traffic semantics of route_scenario_local.py:449-467), traffic
+    # lights/stop signs come from the map's signal specs, and the
+    # red-light/stop/lane criteria use trigger-volume + stop-line + lane-
+    # membership semantics. Without one: legacy parked actors + radial
+    # proxies.
+    town_map: object = None
     dense_route: List[Tuple[Transform, RoadOption]] = field(init=False)
     global_plan_gps: list = field(init=False)
     global_plan_world: list = field(init=False)
@@ -46,24 +55,95 @@ class RouteScenario:
         from .scenarios import build_behaviors
         self.behaviors = build_behaviors(self.config.scenario_configs,
                                          self.seed)
+        from .agent_wrapper import (GNSS_NOISE, IMU_NOISE,
+                                    pinned_lidar_attributes)
+        lidar_attrs = pinned_lidar_attributes(self.datagen)
+        actors, light_actors = self._build_signal_actors()
         self.sim = ReplaySimulation(
             [tf for tf, _ in self.dense_route], fps=self.fps,
-            actors=self._build_background_traffic(), seed=self.seed)
+            actors=actors, seed=self.seed,
+            gnss_noise=GNSS_NOISE, imu_noise=IMU_NOISE,
+            lidar_dropoff=lidar_attrs.get("dropoff_general_rate", 0.0),
+            town_map=self.town_map)
+        self._light_actors = light_actors
+        if self.town_map is not None:
+            from ..sim.traffic import TrafficLightController, TrafficManager
+            controller = TrafficLightController(self.town_map)
+            tm = TrafficManager(self.town_map, seed=self.seed,
+                                controller=controller)
+            tm.light_actors = light_actors
+            start = self.dense_route[0][0].location
+            self.sim.actors.extend(tm.spawn(
+                self.background_vehicles, avoid_xy=(start.x, start.y)))
+            controller.apply_to_actors(light_actors)
+            self.sim.traffic = tm
+        else:
+            self.sim.actors.extend(self._build_background_traffic())
         for behavior in self.behaviors:
             self.sim.actors.extend(behavior.setup(self.sim))
 
         route_tfs = [tf for tf, _ in self.dense_route]
         self._completion = RouteCompletionTest(route_tfs)
-        self._outside = OutsideRouteLanesTest(route_tfs)
+        self._outside = OutsideRouteLanesTest(route_tfs,
+                                              town_map=self.town_map)
+        if self.town_map is not None:
+            red_light = RunningRedLightTest(
+                light_specs=self.town_map.traffic_lights,
+                light_actors=light_actors)
+            stop_sign = RunningStopTest(
+                stop_specs=self.town_map.stop_signs)
+        else:
+            red_light = RunningRedLightTest()
+            stop_sign = RunningStopTest()
         self.criteria = [
             CollisionTest(),
             InRouteTest(route_tfs),
             self._completion,
             self._outside,
-            RunningRedLightTest(),
-            RunningStopTest(),
+            red_light,
+            stop_sign,
             AgentBlockedTest(fps=self.fps),
         ]
+
+    def _build_signal_actors(self):
+        """Materialize traffic-light / stop-sign actors from the map specs
+        (trigger volumes exposed in the Actor local-offset convention the
+        expert's privileged brake predicate reads)."""
+        if self.town_map is None:
+            return [], {}
+        actors: List[Actor] = []
+        light_actors: Dict[int, Actor] = {}
+        for spec in self.town_map.traffic_lights:
+            pole = spec.transform
+            yaw = math.radians(pole.rotation.yaw)
+            c, s = math.cos(yaw), math.sin(yaw)
+            dx = spec.trigger.center[0] - pole.location.x
+            dy = spec.trigger.center[1] - pole.location.y
+            local = ( dx * c + dy * s, -dx * s + dy * c)
+            actor = Actor(
+                actor_id=3000 + spec.light_id, type_id="traffic_light",
+                transform=pole, state="Green",
+                trigger_location=Location(local[0], local[1], 0.0),
+                trigger_box=Location(float(spec.trigger.half_extent[0]),
+                                     float(spec.trigger.half_extent[1]),
+                                     2.0))
+            actors.append(actor)
+            light_actors[spec.light_id] = actor
+        for spec in self.town_map.stop_signs:
+            pole = spec.transform
+            yaw = math.radians(pole.rotation.yaw)
+            c, s = math.cos(yaw), math.sin(yaw)
+            dx = spec.trigger.center[0] - pole.location.x
+            dy = spec.trigger.center[1] - pole.location.y
+            local = ( dx * c + dy * s, -dx * s + dy * c)
+            actors.append(Actor(
+                actor_id=3500 + spec.sign_id, type_id="static.prop.stop",
+                transform=pole,
+                trigger_location=Location(local[0], local[1], 0.0),
+                trigger_box=Location(float(spec.trigger.half_extent[0]),
+                                     float(spec.trigger.half_extent[1]),
+                                     2.0)))
+        return actors, light_actors
 
     # ------------------------------------------------------------- actors
     def _build_background_traffic(self) -> List[Actor]:

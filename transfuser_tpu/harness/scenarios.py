@@ -91,8 +91,7 @@ class ControlLoss(ScenarioBehavior):
             self.done = True
             return
         noise = float(self._rng.normal(0.0, self.NOISE))
-        sim._last_control.steer = float(
-            np.clip(sim._last_control.steer + noise, -1.0, 1.0))
+        sim.perturb_steer(noise)
 
 
 class FollowLeadingVehicle(ScenarioBehavior):

@@ -55,7 +55,11 @@ class ReplaySimulation:
                  seed: int = 0,
                  camera_shape: Tuple[int, int] = (480, 960),
                  lidar_points: int = 2000,
-                 junction_fn=None):
+                 junction_fn=None,
+                 gnss_noise: Optional[Dict[str, float]] = None,
+                 imu_noise: Optional[Dict[str, float]] = None,
+                 lidar_dropoff: float = 0.0,
+                 town_map=None):
         self.fps = fps
         self.dt = 1.0 / fps
         self.frame = 0
@@ -76,11 +80,26 @@ class ReplaySimulation:
         self.ego_extent = Location(2.4508416652679443, 1.0641621351242065,
                                    0.7553732395172119)
         self._last_control = VehicleControl()
+        self.applied_control = VehicleControl()
         self.collision_events: List[Actor] = []
         self._junction_fn = junction_fn
+        # Pinned leaderboard sensor noise profiles
+        # (agent_wrapper_local.py:125-184): applied by the backend's sensor
+        # synthesis, so GPS denoising / lidar robustness are exercised.
+        self._gnss_noise = gnss_noise
+        self._imu_noise = imu_noise
+        self._lidar_dropoff = float(lidar_dropoff)
+        # ControlLoss-style in-sim actuation perturbation (one tick each).
+        self._steer_perturbation = 0.0
+        self.town_map = town_map
+        # Optional sim.traffic.TrafficManager: stepped inside tick() so
+        # background vehicles + light phases advance with the world.
+        self.traffic = None
 
     def is_junction(self, location: Location) -> bool:
         """Map query stand-in (the live adapter asks the OpenDRIVE map)."""
+        if self.town_map is not None:
+            return bool(self.town_map.is_junction(location.x, location.y))
         if self._junction_fn is None:
             return False
         return bool(self._junction_fn(location))
@@ -89,8 +108,20 @@ class ReplaySimulation:
     def apply_control(self, control: VehicleControl) -> None:
         self._last_control = control.clipped()
 
+    def perturb_steer(self, delta: float) -> None:
+        """Add an actuation-level steering perturbation for the next tick
+        (ControlLoss scenario; replaces mutating the agent's control)."""
+        self._steer_perturbation += float(delta)
+
     def tick(self) -> int:
         c = self._last_control
+        if self._steer_perturbation:
+            c = VehicleControl(
+                steer=float(np.clip(c.steer + self._steer_perturbation,
+                                    -1.0, 1.0)),
+                throttle=c.throttle, brake=c.brake)
+            self._steer_perturbation = 0.0
+        self.applied_control = c
         loc = np.array([self.ego_transform.location.x,
                         self.ego_transform.location.y])
         yaw = np.array([math.radians(self.ego_transform.rotation.yaw)])
@@ -104,6 +135,8 @@ class ReplaySimulation:
         self.ego_speed = float(np.ravel(nspd)[0])
 
         self._advance_actors()
+        if self.traffic is not None:
+            self.traffic.step(self, self.dt)
         self._detect_collisions()
         self.frame += 1
         self.game_time += self.dt
@@ -152,27 +185,52 @@ class ReplaySimulation:
             idx = min(self.frame, len(self.recorded) - 1)
             return self.recorded[idx]
         h, w = self._camera_shape
+        lidar = self._rng.uniform(
+            -30, 30, (self._lidar_points, 4)).astype(np.float32)
+        if self._lidar_dropoff > 0.0:
+            # eval-profile general dropoff (agent_wrapper_local.py:133-138)
+            keep = self._rng.random(lidar.shape[0]) >= self._lidar_dropoff
+            lidar = lidar[keep]
         frame = {
             "rgb": self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
             "rgb_left": self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
             "rgb_right": self._rng.integers(0, 255, (h, w, 3),
                                             dtype=np.uint8),
-            "lidar": self._rng.uniform(
-                -30, 30, (self._lidar_points, 4)).astype(np.float32),
+            "lidar": lidar,
             "gps": self._gps(),
-            "imu": np.array([0, 0, 9.81, 0, 0, 0,
-                             math.radians(self.ego_transform.rotation.yaw)
-                             + math.pi / 2.0], np.float64),
+            "imu": self._imu(),
             "speed": {"speed": self.ego_speed},
         }
         return frame
+
+    def _imu(self) -> np.ndarray:
+        imu = np.array([0, 0, 9.81, 0, 0, 0,
+                        math.radians(self.ego_transform.rotation.yaw)
+                        + math.pi / 2.0], np.float64)
+        if self._imu_noise:
+            n = self._imu_noise
+            imu[:6] += self._rng.normal(0.0, [
+                n.get("noise_accel_stddev_x", 0.0),
+                n.get("noise_accel_stddev_y", 0.0),
+                n.get("noise_accel_stddev_z", 0.0),
+                n.get("noise_gyro_stddev_x", 0.0),
+                n.get("noise_gyro_stddev_y", 0.0),
+                n.get("noise_gyro_stddev_z", 0.0)])
+        return imu
 
     def _gps(self) -> np.ndarray:
         # CARLA 9.10 convention: lat ~ -y, lon ~ x (route_manipulation.py).
         from ..control.route_planner import GPS_CARLA_SCALE
         lat = -self.ego_transform.location.y / GPS_CARLA_SCALE[0]
         lon = self.ego_transform.location.x / GPS_CARLA_SCALE[1]
-        return np.array([lat, lon, 0.0])
+        gps = np.array([lat, lon, 0.0])
+        if self._gnss_noise:
+            n = self._gnss_noise
+            gps += self._rng.normal(0.0, [
+                n.get("noise_lat_stddev", 0.0),
+                n.get("noise_lon_stddev", 0.0),
+                n.get("noise_alt_stddev", 0.0)])
+        return gps
 
     # ------------------------------------------------------------ inspection
     def ego_location(self) -> Location:

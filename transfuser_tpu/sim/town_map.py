@@ -1,0 +1,463 @@
+"""Road-network model: lanes, topology, junctions, lights, stop signs.
+
+This is the hermetic stand-in for the CARLA OpenDRIVE map that the
+reference queries through `carla.Map`/`GlobalRoutePlanner` and rasterizes
+through `team_code_autopilot/utils/map_utils.py:89-268`. One structure
+serves four consumers:
+
+  * background traffic (sim/traffic.py) — car-following along lane
+    topology, stopping at red lights;
+  * criteria semantics (harness/criteria.py) — lane membership for
+    OutsideRouteLanesTest, trigger volumes + stop lines for
+    RunningRedLightTest / RunningStopTest (atomic_criteria_local.py);
+  * map-true BEV ground-truth rasterization (data/bev_raster.py) — road
+    and lane-marking channels cover the whole network, not just the ego
+    route (utils/lts_rendering.py renders the full OpenDRIVE network);
+  * route/scenario generators (tools/route_gen.py) — topology walks over
+    the lane graph (tools/dataset/gen_routes/*.py).
+
+Everything is numpy on the host; nothing here touches jax.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .types import Location, Rotation, Transform
+
+LANE_WIDTH = 3.5
+SAMPLE_STEP = 1.0  # meters between centerline samples
+
+
+@dataclass
+class Lane:
+    lane_id: int
+    centerline: np.ndarray  # (N, 2) float64, ~1 m spacing
+    width: float = LANE_WIDTH
+    road_id: int = -1
+    is_junction: bool = False
+    speed_limit: float = 8.0  # m/s
+    successors: List[int] = field(default_factory=list)
+    predecessors: List[int] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self.centerline = np.asarray(self.centerline, np.float64)
+        seg = np.diff(self.centerline, axis=0)
+        seg_len = np.hypot(seg[:, 0], seg[:, 1])
+        self._cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+        self.length = float(self._cum[-1])
+
+    def position(self, s: float) -> Tuple[np.ndarray, float]:
+        """(xy, yaw_deg) at arclength s (clamped)."""
+        s = min(max(s, 0.0), self.length)
+        i = int(np.searchsorted(self._cum, s, side="right") - 1)
+        i = min(max(i, 0), len(self.centerline) - 2)
+        seg = self.centerline[i + 1] - self.centerline[i]
+        seg_len = float(np.hypot(seg[0], seg[1])) or 1e-9
+        t = (s - self._cum[i]) / seg_len
+        xy = self.centerline[i] + np.clip(t, 0.0, 1.0) * seg
+        yaw = math.degrees(math.atan2(seg[1], seg[0]))
+        return xy, yaw
+
+    def project(self, x: float, y: float) -> Tuple[float, float]:
+        """(s, signed lateral offset) of the closest centerline point."""
+        p = np.array([x, y])
+        a = self.centerline[:-1]
+        b = self.centerline[1:]
+        ab = b - a
+        denom = (ab * ab).sum(axis=1)
+        denom = np.where(denom < 1e-12, 1e-12, denom)
+        t = np.clip(((p - a) * ab).sum(axis=1) / denom, 0.0, 1.0)
+        proj = a + t[:, None] * ab
+        d2 = ((p - proj) ** 2).sum(axis=1)
+        i = int(np.argmin(d2))
+        s = float(self._cum[i] + t[i] * math.sqrt(denom[i]))
+        # sign: left of travel direction = positive
+        cross = ab[i, 0] * (p[1] - a[i, 1]) - ab[i, 1] * (p[0] - a[i, 0])
+        lateral = math.copysign(math.sqrt(d2[i]), cross)
+        return s, lateral
+
+
+@dataclass
+class TriggerVolume:
+    """Axis-oriented-by-yaw box on the ground plane (CARLA trigger_volume)."""
+    center: np.ndarray          # (2,)
+    half_extent: np.ndarray     # (2,) along (forward, lateral)
+    yaw_deg: float = 0.0
+
+    def contains(self, x: float, y: float, margin: float = 0.0) -> bool:
+        c, s = math.cos(math.radians(self.yaw_deg)), math.sin(
+            math.radians(self.yaw_deg))
+        dx, dy = x - self.center[0], y - self.center[1]
+        fwd = dx * c + dy * s
+        lat = -dx * s + dy * c
+        return (abs(fwd) <= self.half_extent[0] + margin
+                and abs(lat) <= self.half_extent[1] + margin)
+
+
+@dataclass
+class TrafficLightSpec:
+    light_id: int
+    transform: Transform           # pole position/orientation
+    trigger: TriggerVolume         # approach box before the stop line
+    stop_line: Tuple[np.ndarray, np.ndarray]  # segment ((2,), (2,))
+    controlled_lanes: List[int]    # incoming lane + its junction connectors
+    group: int = 0                 # lights in a group alternate phases
+    phase: int = 0                 # 0: starts green, 1: starts red
+
+
+@dataclass
+class StopSignSpec:
+    sign_id: int
+    transform: Transform
+    trigger: TriggerVolume
+
+
+class TownMap:
+    """Lane graph + signals + spatial queries."""
+
+    def __init__(self, lanes: Sequence[Lane],
+                 traffic_lights: Sequence[TrafficLightSpec] = (),
+                 stop_signs: Sequence[StopSignSpec] = (),
+                 name: str = "town"):
+        self.name = name
+        self.lanes: Dict[int, Lane] = {l.lane_id: l for l in lanes}
+        self.traffic_lights = list(traffic_lights)
+        self.stop_signs = list(stop_signs)
+        self._build_index()
+
+    # ------------------------------------------------------------ indexing
+    def _build_index(self, cell: float = 8.0) -> None:
+        self._cell = cell
+        self._grid: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+        for lid, lane in self.lanes.items():
+            for pi, pt in enumerate(lane.centerline):
+                key = (int(pt[0] // cell), int(pt[1] // cell))
+                self._grid.setdefault(key, []).append((lid, pi))
+
+    def _candidates(self, x: float, y: float, radius: float
+                    ) -> List[Tuple[int, int]]:
+        r = int(radius // self._cell) + 1
+        cx, cy = int(x // self._cell), int(y // self._cell)
+        out: List[Tuple[int, int]] = []
+        for ix in range(cx - r, cx + r + 1):
+            for iy in range(cy - r, cy + r + 1):
+                out.extend(self._grid.get((ix, iy), ()))
+        return out
+
+    # ------------------------------------------------------------- queries
+    def nearest_lane(self, x: float, y: float, max_dist: float = 20.0
+                     ) -> Optional[Tuple[Lane, float, float]]:
+        """(lane, s, lateral) of the closest lane within max_dist."""
+        best = None
+        best_d = max_dist
+        seen = set()
+        for lid, _ in self._candidates(x, y, max_dist):
+            if lid in seen:
+                continue
+            seen.add(lid)
+            lane = self.lanes[lid]
+            s, lat = lane.project(x, y)
+            if abs(lat) < best_d:
+                best_d = abs(lat)
+                best = (lane, s, lat)
+        return best
+
+    def on_road(self, x: float, y: float, margin: float = 0.3) -> bool:
+        """True if (x, y) lies within some lane's paved width."""
+        hit = self.nearest_lane(x, y, max_dist=2 * LANE_WIDTH)
+        if hit is None:
+            return False
+        lane, _s, lat = hit
+        return abs(lat) <= lane.width / 2.0 + margin
+
+    def is_junction(self, x: float, y: float) -> bool:
+        hit = self.nearest_lane(x, y, max_dist=2 * LANE_WIDTH)
+        return bool(hit and hit[0].is_junction
+                    and abs(hit[2]) <= hit[0].width)
+
+    def advance(self, lane_id: int, s: float, dist: float,
+                rng: Optional[np.random.Generator] = None,
+                choose: Optional[int] = None
+                ) -> Tuple[int, float, bool]:
+        """Walk `dist` meters along topology. Returns (lane_id, s, ok);
+        ok=False at a dead end. Successor choice: `choose` index, else
+        random via rng, else first."""
+        guard = 0
+        while True:
+            lane = self.lanes[lane_id]
+            if s + dist <= lane.length:
+                return lane_id, s + dist, True
+            dist -= lane.length - s
+            if not lane.successors:
+                return lane_id, lane.length, False
+            if choose is not None:
+                nxt = lane.successors[choose % len(lane.successors)]
+            elif rng is not None:
+                nxt = lane.successors[int(rng.integers(
+                    0, len(lane.successors)))]
+            else:
+                nxt = lane.successors[0]
+            lane_id, s = nxt, 0.0
+            guard += 1
+            if guard > 1000:
+                return lane_id, s, False
+
+    def route(self, start_xy: Tuple[float, float],
+              goal_xy: Tuple[float, float],
+              step: float = 1.0) -> List[Transform]:
+        """Dense drivable route start->goal via BFS over the lane graph
+        (the hermetic `interpolate_trajectory`/GlobalRoutePlanner)."""
+        from collections import deque
+        a = self.nearest_lane(*start_xy)
+        b = self.nearest_lane(*goal_xy)
+        if a is None or b is None:
+            raise ValueError("start/goal not on the road network")
+        (la, sa, _), (lb, sb, _) = a, b
+        if la.lane_id == lb.lane_id and sb >= sa:
+            chain = [la.lane_id]
+        else:
+            prev: Dict[int, int] = {la.lane_id: -1}
+            q = deque([la.lane_id])
+            while q:
+                cur = q.popleft()
+                if cur == lb.lane_id:
+                    break
+                for nxt in self.lanes[cur].successors:
+                    if nxt not in prev:
+                        prev[nxt] = cur
+                        q.append(nxt)
+            if lb.lane_id not in prev:
+                raise ValueError("no route between start and goal")
+            chain = []
+            cur = lb.lane_id
+            while cur != -1:
+                chain.append(cur)
+                cur = prev[cur]
+            chain.reverse()
+        out: List[Transform] = []
+        for ci, lid in enumerate(chain):
+            lane = self.lanes[lid]
+            s0 = sa if ci == 0 else 0.0
+            s1 = sb if ci == len(chain) - 1 else lane.length
+            s = s0
+            while s < s1:
+                xy, yaw = lane.position(s)
+                out.append(Transform(Location(float(xy[0]), float(xy[1])),
+                                     Rotation(yaw=yaw)))
+                s += step
+        xy, yaw = self.lanes[chain[-1]].position(sb)
+        out.append(Transform(Location(float(xy[0]), float(xy[1])),
+                             Rotation(yaw=yaw)))
+        return out
+
+    def spawn_points(self, spacing: float = 12.0) -> List[Tuple[int, float]]:
+        """(lane_id, s) pairs spread over non-junction lanes (the
+        `get_spawn_points` equivalent for background traffic)."""
+        pts: List[Tuple[int, float]] = []
+        for lid, lane in sorted(self.lanes.items()):
+            if lane.is_junction:
+                continue
+            s = spacing / 2.0
+            while s < lane.length - 4.0:
+                pts.append((lid, s))
+                s += spacing
+        return pts
+
+    def light_for_lane(self, lane_id: int) -> Optional[TrafficLightSpec]:
+        for tl in self.traffic_lights:
+            if lane_id in tl.controlled_lanes:
+                return tl
+        return None
+
+
+# --------------------------------------------------------------------------
+# Procedural town builder
+# --------------------------------------------------------------------------
+
+def _bezier(p0, p1, p2, n: int) -> np.ndarray:
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    return ((1 - t) ** 2 * p0 + 2 * (1 - t) * t * p1 + t ** 2 * p2)
+
+
+# Exact unit vectors for axis-aligned headings (trig of radians(90) is not
+# exactly (0,1); endpoint-key matching requires bit-identical coordinates).
+_FWD = {0: np.array([1.0, 0.0]), 90: np.array([0.0, 1.0]),
+        180: np.array([-1.0, 0.0]), 270: np.array([0.0, -1.0])}
+_RIGHT = {0: np.array([0.0, -1.0]), 90: np.array([1.0, 0.0]),
+          180: np.array([0.0, 1.0]), 270: np.array([-1.0, 0.0])}
+
+
+def grid_town(blocks: int = 2, block_size: float = 80.0,
+              junction_half: float = 8.0,
+              lights_at: Sequence[Tuple[int, int]] = ((1, 1),),
+              stops_at: Sequence[Tuple[int, int]] = (),
+              name: str = "grid_town") -> TownMap:
+    """Manhattan-grid town: (blocks+1)^2 intersections, two-way roads,
+    junction connector lanes (straight/left/right), traffic lights and stop
+    signs at chosen intersections.
+
+    Right-hand traffic: a lane driving heading theta is offset LANE_WIDTH/2
+    to the right of the road axis.
+    """
+    n = blocks + 1
+    half_w = LANE_WIDTH / 2.0
+    lanes: List[Lane] = []
+    lights: List[TrafficLightSpec] = []
+    stops: List[StopSignSpec] = []
+    next_id = [0]
+
+    # endpoint registry for wiring topology: key=(x,y,heading) rounded
+    lane_start: Dict[Tuple[int, int, int], int] = {}
+    lane_end: Dict[Tuple[int, int, int], int] = {}
+
+    def key(xy, yaw) -> Tuple[int, int, int]:
+        return (int(round(xy[0] * 2)), int(round(xy[1] * 2)),
+                int(round(yaw)) % 360)
+
+    def add_lane(pts: np.ndarray, is_junction: bool, road_id: int) -> Lane:
+        lane = Lane(lane_id=next_id[0], centerline=pts, road_id=road_id,
+                    is_junction=is_junction)
+        next_id[0] += 1
+        lanes.append(lane)
+        d0 = pts[1] - pts[0]
+        d1 = pts[-1] - pts[-2]
+        lane_start[key(pts[0], math.degrees(math.atan2(d0[1], d0[0])))] = \
+            lane.lane_id
+        lane_end[key(pts[-1], math.degrees(math.atan2(d1[1], d1[0])))] = \
+            lane.lane_id
+        return lane
+
+    def straight(p0, p1) -> np.ndarray:
+        dist = math.hypot(p1[0] - p0[0], p1[1] - p0[1])
+        m = max(int(dist / SAMPLE_STEP), 2)
+        return np.linspace(p0, p1, m + 1)
+
+    # --- road segment lanes (between junction squares)
+    road_id = 0
+    for i in range(n):
+        for j in range(n):
+            cx, cy = i * block_size, j * block_size
+            # east-bound segment to (i+1, j)
+            if i + 1 < n:
+                x0, x1 = cx + junction_half, cx + block_size - junction_half
+                # heading +x: right side is -y
+                add_lane(straight((x0, cy - half_w), (x1, cy - half_w)),
+                         False, road_id)
+                add_lane(straight((x1, cy + half_w), (x0, cy + half_w)),
+                         False, road_id)
+                road_id += 1
+            if j + 1 < n:
+                y0, y1 = cy + junction_half, cy + block_size - junction_half
+                # heading +y: right side is +x
+                add_lane(straight((cx + half_w, y0), (cx + half_w, y1)),
+                         False, road_id)
+                add_lane(straight((cx - half_w, y1), (cx - half_w, y0)),
+                         False, road_id)
+                road_id += 1
+
+    # --- junction connectors
+    # at intersection (i, j): incoming lane endpoints sit on the junction
+    # square's edge. For each incoming heading, connect straight, left,
+    # right to the outgoing lanes that exist.
+    headings = [0, 90, 180, 270]
+    lanes_by_id = {l.lane_id: l for l in lanes}
+    for i in range(n):
+        for j in range(n):
+            cx, cy = i * block_size, j * block_size
+            jid = 10000 + i * 100 + j
+            for h in headings:
+                fwd, right = _FWD[h], _RIGHT[h]
+                # incoming lane of heading h ends at edge point:
+                in_pt = (np.array([cx, cy]) - fwd * junction_half
+                         + right * half_w)
+                in_key = key(in_pt, h)
+                if in_key not in lane_end:
+                    continue
+                src = lane_end[in_key]
+                for turn, dh in (("straight", 0), ("left", 90),
+                                 ("right", -90)):
+                    h2 = (h + dh) % 360
+                    fwd2, right2 = _FWD[h2], _RIGHT[h2]
+                    out_pt = (np.array([cx, cy]) + fwd2 * junction_half
+                              + right2 * half_w)
+                    out_key = key(out_pt, h2)
+                    if out_key not in lane_start:
+                        continue
+                    dst = lane_start[out_key]
+                    if turn == "straight":
+                        pts = straight(in_pt, out_pt)
+                    else:
+                        ctrl = _line_intersect(in_pt, fwd, out_pt, -fwd2)
+                        m = max(int(np.hypot(*(out_pt - in_pt))
+                                    / SAMPLE_STEP) + 2, 4)
+                        pts = _bezier(in_pt, ctrl, out_pt, m)
+                    conn = add_lane(pts, True, jid)
+                    lanes_by_id[conn.lane_id] = conn
+                    lanes_by_id[src].successors.append(conn.lane_id)
+                    conn.predecessors.append(src)
+                    conn.successors.append(dst)
+                    lanes_by_id[dst].predecessors.append(conn.lane_id)
+
+    # --- signals
+    def approach_signal(i: int, j: int, h: int):
+        """Incoming approach of heading h at intersection (i,j):
+        (incoming lane, stop-line segment, trigger volume, pole tf)."""
+        cx, cy = i * block_size, j * block_size
+        fwd, right = _FWD[h], _RIGHT[h]
+        in_pt = np.array([cx, cy]) - fwd * junction_half + right * half_w
+        in_key = key(in_pt, h)
+        if in_key not in lane_end:
+            return None
+        lane_in = lane_end[in_key]
+        stop_a = in_pt - right * LANE_WIDTH  # spans the incoming lane
+        stop_b = in_pt + right * LANE_WIDTH
+        trig_center = in_pt - fwd * 2.5
+        trigger = TriggerVolume(center=trig_center,
+                                half_extent=np.array([2.5, half_w + 0.5]),
+                                yaw_deg=h)
+        pole = Transform(Location(float(in_pt[0] + right[0] * 2.5),
+                                  float(in_pt[1] + right[1] * 2.5)),
+                         Rotation(yaw=h))
+        return lane_in, (stop_a, stop_b), trigger, pole
+
+    light_id = 0
+    for (i, j) in lights_at:
+        group = i * 100 + j
+        for phase, h in ((0, 0), (1, 90), (0, 180), (1, 270)):
+            sig = approach_signal(i, j, h)
+            if sig is None:
+                continue
+            lane_in, stop_line, trigger, pole = sig
+            controlled = [lane_in] + lanes_by_id[lane_in].successors
+            lights.append(TrafficLightSpec(
+                light_id=light_id, transform=pole, trigger=trigger,
+                stop_line=stop_line, controlled_lanes=controlled,
+                group=group, phase=phase))
+            light_id += 1
+
+    sign_id = 0
+    for (i, j) in stops_at:
+        for h in headings:
+            sig = approach_signal(i, j, h)
+            if sig is None:
+                continue
+            _lane_in, _stop_line, trigger, pole = sig
+            stops.append(StopSignSpec(sign_id=sign_id, transform=pole,
+                                      trigger=trigger))
+            sign_id += 1
+
+    return TownMap(lanes, lights, stops, name=name)
+
+
+def _line_intersect(p0, d0, p1, d1) -> np.ndarray:
+    """Intersection of p0+t*d0 and p1+u*d1 (falls back to midpoint)."""
+    det = d0[0] * d1[1] - d0[1] * d1[0]
+    if abs(det) < 1e-9:
+        return (p0 + p1) / 2.0
+    t = ((p1[0] - p0[0]) * d1[1] - (p1[1] - p0[1]) * d1[0]) / det
+    return p0 + t * d0

@@ -1,0 +1,235 @@
+"""Background traffic: light phases + car-following vehicles on the lane
+graph.
+
+Hermetic equivalent of CARLA's TrafficManager autopiloting the ~500
+background vehicles of Longest6 (route_scenario_local.py:449-467) and of
+the simulator's traffic-light state machines. Vehicles follow lane
+centerlines, keep time-headway gaps behind leaders (including the ego),
+stop for red lights at stop lines, and pick random turns at junctions.
+
+Host-side numpy only.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .replay import Actor, ReplaySimulation
+from .town_map import TownMap, TrafficLightSpec
+from .types import Location, Rotation, Transform, VehicleControl
+
+
+class TrafficLightController:
+    """Cycles every light group: phase-0 approaches green while phase-1 red,
+    with yellow + all-red interphases; then swap."""
+
+    def __init__(self, town_map: TownMap, green: float = 10.0,
+                 yellow: float = 2.0, all_red: float = 1.0):
+        self.map = town_map
+        self.green = green
+        self.yellow = yellow
+        self.all_red = all_red
+        self.period = 2.0 * (green + yellow + all_red)
+        self.t = 0.0
+
+    def state(self, light: TrafficLightSpec) -> str:
+        t = self.t % self.period
+        if light.phase == 1:
+            t = (t + self.period / 2.0) % self.period
+        if t < self.green:
+            return "Green"
+        if t < self.green + self.yellow:
+            return "Yellow"
+        return "Red"
+
+    def step(self, dt: float) -> None:
+        self.t += dt
+
+    def apply_to_actors(self, actors_by_light: Dict[int, Actor]) -> None:
+        for light in self.map.traffic_lights:
+            actor = actors_by_light.get(light.light_id)
+            if actor is not None:
+                actor.state = self.state(light)
+
+
+@dataclass
+class ManagedVehicle:
+    actor: Actor
+    lane_id: int
+    s: float
+    target_speed: float
+    next_lane: Optional[int] = None  # chosen successor (persists per lane)
+    speed: float = 0.0
+
+
+class TrafficManager:
+    """Steps managed vehicles with an IDM-lite follower model."""
+
+    ACCEL = 2.0         # m/s^2
+    BRAKE = 4.5
+    MIN_GAP = 5.0       # bumper gap at standstill
+    HEADWAY = 1.2       # seconds
+    LOOKAHEAD = 40.0    # meters for leader/light search
+
+    def __init__(self, town_map: TownMap, seed: int = 0,
+                 controller: Optional[TrafficLightController] = None):
+        self.map = town_map
+        self._rng = np.random.default_rng(seed)
+        self.controller = controller
+        self.vehicles: List[ManagedVehicle] = []
+        # light_id -> Actor: set by the scenario that materialized light
+        # actors; step() keeps their .state in sync with the controller.
+        self.light_actors: Dict[int, Actor] = {}
+
+    # ------------------------------------------------------------- spawning
+    def spawn(self, n: int, first_actor_id: int = 2000,
+              avoid_xy: Optional[Tuple[float, float]] = None,
+              avoid_radius: float = 15.0) -> List[Actor]:
+        """Place up to n vehicles on spawn points ("use all spawn points",
+        route_scenario_local.py:449-467); returns the created actors."""
+        points = self.map.spawn_points()
+        self._rng.shuffle(points)
+        actors: List[Actor] = []
+        for lane_id, s in points:
+            if len(actors) >= n:
+                break
+            xy, yaw = self.map.lanes[lane_id].position(s)
+            if avoid_xy is not None and math.hypot(
+                    xy[0] - avoid_xy[0], xy[1] - avoid_xy[1]) < avoid_radius:
+                continue
+            actor = Actor(
+                actor_id=first_actor_id + len(actors),
+                type_id="vehicle.background",
+                transform=Transform(Location(float(xy[0]), float(xy[1])),
+                                    Rotation(yaw=yaw)))
+            mv = ManagedVehicle(
+                actor=actor, lane_id=lane_id, s=s,
+                target_speed=float(self.map.lanes[lane_id].speed_limit
+                                   * self._rng.uniform(0.65, 0.95)))
+            self._choose_next(mv)
+            self.vehicles.append(mv)
+            actors.append(actor)
+        return actors
+
+    def _choose_next(self, mv: ManagedVehicle) -> None:
+        succ = self.map.lanes[mv.lane_id].successors
+        mv.next_lane = (int(succ[int(self._rng.integers(0, len(succ)))])
+                        if succ else None)
+
+    # ------------------------------------------------------------- stepping
+    def step(self, sim: ReplaySimulation, dt: float) -> None:
+        if self.controller is not None:
+            self.controller.step(dt)
+            self.controller.apply_to_actors(self.light_actors)
+
+        # index every road user by lane for leader lookup
+        occupancy: Dict[int, List[Tuple[float, float]]] = {}
+        for mv in self.vehicles:
+            occupancy.setdefault(mv.lane_id, []).append(
+                (mv.s, mv.actor.extent.x))
+        ego_hit = self.map.nearest_lane(sim.ego_transform.location.x,
+                                        sim.ego_transform.location.y,
+                                        max_dist=2.0 * 3.5)
+        if ego_hit is not None and abs(ego_hit[2]) < ego_hit[0].width:
+            occupancy.setdefault(ego_hit[0].lane_id, []).append(
+                (ego_hit[1], sim.ego_extent.x))
+
+        for mv in self.vehicles:
+            desired = mv.target_speed
+            gap = self._leader_gap(mv, occupancy)
+            if gap is not None:
+                # IDM-lite: brake to keep headway
+                safe = self.MIN_GAP + mv.speed * self.HEADWAY
+                if gap < safe:
+                    desired = 0.0 if gap < self.MIN_GAP else \
+                        mv.speed * (gap - self.MIN_GAP) / max(
+                            safe - self.MIN_GAP, 1e-3)
+            dist_red = self._red_light_distance(mv)
+            if dist_red is not None:
+                # comfortable stop at the line: v^2 <= 2 b d
+                v_allow = math.sqrt(max(
+                    2.0 * self.BRAKE * max(dist_red - 1.0, 0.0), 0.0))
+                desired = min(desired, v_allow if dist_red > 1.0 else 0.0)
+
+            if mv.speed < desired:
+                mv.speed = min(mv.speed + self.ACCEL * dt, desired)
+            else:
+                mv.speed = max(mv.speed - self.BRAKE * dt, desired, 0.0)
+
+            self._advance(mv, mv.speed * dt)
+            xy, yaw = self.map.lanes[mv.lane_id].position(mv.s)
+            mv.actor.transform = Transform(
+                Location(float(xy[0]), float(xy[1])), Rotation(yaw=yaw))
+            mv.actor.speed = mv.speed
+            # privileged dynamic state for the expert's forecasting
+            mv.actor.control = VehicleControl(
+                throttle=0.75 if mv.speed < desired - 0.1 else 0.0,
+                brake=1.0 if (desired < 0.1 and mv.speed < 0.5) else 0.0,
+                steer=0.0)
+
+    def _advance(self, mv: ManagedVehicle, dist: float) -> None:
+        lane = self.map.lanes[mv.lane_id]
+        s = mv.s + dist
+        guard = 0
+        while s > lane.length and guard < 10:
+            if mv.next_lane is None:
+                s = lane.length
+                break
+            s -= lane.length
+            mv.lane_id = mv.next_lane
+            lane = self.map.lanes[mv.lane_id]
+            self._choose_next(mv)
+            guard += 1
+        mv.s = s
+
+    def _chain(self, mv: ManagedVehicle) -> List[int]:
+        chain = [mv.lane_id]
+        if mv.next_lane is not None:
+            chain.append(mv.next_lane)
+            nxt = self.map.lanes[mv.next_lane].successors
+            if nxt:
+                chain.append(nxt[0])
+        return chain
+
+    def _leader_gap(self, mv: ManagedVehicle,
+                    occupancy: Dict[int, List[Tuple[float, float]]]
+                    ) -> Optional[float]:
+        """Bumper distance to the closest road user ahead on this vehicle's
+        lane chain, within LOOKAHEAD."""
+        base = -mv.s  # arclength offset of each chain lane's origin
+        best: Optional[float] = None
+        for li, lid in enumerate(self._chain(mv)):
+            lane = self.map.lanes[lid]
+            for s_o, half_len in occupancy.get(lid, ()):
+                ahead = base + s_o
+                if li == 0 and ahead <= 1e-6:
+                    continue  # behind us on our own lane (or ourselves)
+                if 0.0 < ahead <= self.LOOKAHEAD:
+                    gap = ahead - half_len - mv.actor.extent.x
+                    if best is None or gap < best:
+                        best = gap
+            base += lane.length
+            if base > self.LOOKAHEAD:
+                break
+        return best
+
+    def _red_light_distance(self, mv: ManagedVehicle) -> Optional[float]:
+        """Distance to the stop line of a non-green light governing the
+        current lane (None when clear). Junction connectors inherit their
+        approach light, so a vehicle already inside keeps moving."""
+        if self.controller is None:
+            return None
+        lane = self.map.lanes[mv.lane_id]
+        if lane.is_junction:
+            return None  # committed to the junction
+        light = self.map.light_for_lane(mv.lane_id)
+        if light is None:
+            return None
+        if self.controller.state(light) == "Green":
+            return None
+        dist = lane.length - mv.s
+        return dist if dist <= self.LOOKAHEAD else None

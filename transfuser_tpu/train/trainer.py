@@ -98,7 +98,9 @@ def make_train_step(model: LidarCenterNet, config: GlobalConfig,
                                    batch_stats=batch_stats,
                                    opt_state=opt_state)
             return new_state, {"loss_total": loss, **detailed}
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        fused = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        fused.jit_programs = (fused,)
+        return fused
 
     grad_jit = jax.jit(grad_fn)
     # Donate grads/opt/params into the update so each step recycles the
@@ -118,6 +120,11 @@ def make_train_step(model: LidarCenterNet, config: GlobalConfig,
                                opt_state=opt_state)
         return new_state, {"loss_total": loss, **detailed}
 
+    # Exposed for cost analysis (bench.py computes MFU from the lowered
+    # HLO of the actual shipped programs).
+    train_step.jit_programs = (grad_jit, update_jit)
+    train_step.grad_jit = grad_jit
+    train_step.update_jit = update_jit
     return train_step
 
 
