@@ -104,6 +104,10 @@ class GPTConfig:
     img_horz_anchors: int = 22
     lidar_vert_anchors: int = 8
     lidar_horz_anchors: int = 8
+    # Reference-checkpoint parity: replicate the token->map unpack quirk of
+    # transfuser.py:360 (see models/gpt.py). Set True when importing
+    # reference-trained weights; leave False for from-scratch training.
+    reference_view_unpack: bool = False
 
 
 @dataclass(frozen=True)

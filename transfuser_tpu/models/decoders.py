@@ -74,17 +74,30 @@ class _DeconvStack(nn.Module):
 
 class SegDecoder(nn.Module):
     num_class: int = 7
+    c1: int = 128
+    c2: int = 64
+    c3: int = 32
+    scale_1: int = 8
+    scale_2: int = 4
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return _DeconvStack(self.num_class, dtype=self.dtype, name="stack")(x)
+        return _DeconvStack(self.num_class, self.c1, self.c2, self.c3,
+                            self.scale_1, self.scale_2, dtype=self.dtype,
+                            name="stack")(x)
 
 
 class DepthDecoder(nn.Module):
+    c1: int = 128
+    c2: int = 64
+    c3: int = 32
+    scale_1: int = 8
+    scale_2: int = 4
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = _DeconvStack(1, dtype=self.dtype, name="stack")(x)
+        x = _DeconvStack(1, self.c1, self.c2, self.c3, self.scale_1,
+                         self.scale_2, dtype=self.dtype, name="stack")(x)
         return nn.sigmoid(x[..., 0].astype(jnp.float32))

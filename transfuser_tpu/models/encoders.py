@@ -295,9 +295,12 @@ _ENCODERS: dict = {
                                             in_channels=in_ch, dtype=dtype),
     "resnet18": lambda in_ch, dtype: ResNet(depths=(2, 2, 2, 2),
                                             in_channels=in_ch, dtype=dtype),
-    # Micro trunk for fast CPU tests (not a reference architecture).
+    # Micro trunks for fast CPU tests (not reference architectures).
     "resnet_micro": lambda in_ch, dtype: ResNet(
         depths=(1, 1, 1, 1), widths=(16, 32, 64, 128),
+        in_channels=in_ch, dtype=dtype),
+    "regnety_micro": lambda in_ch, dtype: RegNetY(
+        depths=(1, 2, 1, 1), widths=(24, 48, 96, 192), group_width=24,
         in_channels=in_ch, dtype=dtype),
     "convnext_base": lambda in_ch, dtype: ConvNeXt(in_channels=in_ch, dtype=dtype),
     "convnext_tiny": lambda in_ch, dtype: ConvNeXt(

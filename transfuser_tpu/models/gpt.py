@@ -107,6 +107,13 @@ class GPTFusion(nn.Module):
     resid_pdrop: float = 0.1
     init_std: float = 0.02
     use_velocity: bool = True
+    # Replicate the reference's token->map unpacking quirk: transfuser.py:360
+    # reinterprets the (T, C) token block as (C, H, W) with a raw view — NOT
+    # the inverse of the (H, W, C) input permute at :341 — so positions and
+    # channels are scrambled in a fixed way the trained weights absorb.
+    # Required for reference-checkpoint parity; off for from-scratch training
+    # (clean NHWC unpack).
+    reference_view_unpack: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -143,6 +150,12 @@ class GPTFusion(nn.Module):
         x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
                          name="ln_f")(x).astype(self.dtype)
 
-        image_out = x[:, :n_img].reshape(b, hi, wi, self.n_embd)
-        lidar_out = x[:, n_img:].reshape(b, hl, wl, self.n_embd)
+        if self.reference_view_unpack:
+            image_out = x[:, :n_img].reshape(b, self.n_embd, hi, wi)
+            image_out = jnp.transpose(image_out, (0, 2, 3, 1))
+            lidar_out = x[:, n_img:].reshape(b, self.n_embd, hl, wl)
+            lidar_out = jnp.transpose(lidar_out, (0, 2, 3, 1))
+        else:
+            image_out = x[:, :n_img].reshape(b, hi, wi, self.n_embd)
+            lidar_out = x[:, n_img:].reshape(b, hl, wl, self.n_embd)
         return image_out, lidar_out

@@ -61,9 +61,14 @@ class LidarCenterNet(nn.Module):
             lidar_ch += 1
         self._backbone = _make_backbone(cfg, lidar_ch, self.dtype)
         if mcfg.multitask:
+            deconv = dict(c1=mcfg.deconv_channel_num_1,
+                          c2=mcfg.deconv_channel_num_2,
+                          c3=mcfg.deconv_channel_num_3,
+                          scale_1=mcfg.deconv_scale_factor_1,
+                          scale_2=mcfg.deconv_scale_factor_2)
             self.seg_decoder = SegDecoder(num_class=mcfg.num_class,
-                                          dtype=self.dtype)
-            self.depth_decoder = DepthDecoder(dtype=self.dtype)
+                                          dtype=self.dtype, **deconv)
+            self.depth_decoder = DepthDecoder(dtype=self.dtype, **deconv)
         ch = mcfg.centernet.channel
         self.pred_bev_conv0 = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
                                       dtype=self.dtype,

@@ -45,8 +45,9 @@ class TransfuserBackbone(nn.Module):
                 lidar_anchors=(g.lidar_vert_anchors, g.lidar_horz_anchors),
                 embd_pdrop=g.embd_pdrop, attn_pdrop=g.attn_pdrop,
                 resid_pdrop=g.resid_pdrop, init_std=g.linear_init_std,
-                use_velocity=mcfg.use_velocity, dtype=self.dtype,
-                name=f"transformer{i + 1}")
+                use_velocity=mcfg.use_velocity,
+                reference_view_unpack=g.reference_view_unpack,
+                dtype=self.dtype, name=f"transformer{i + 1}")
             for i in range(4)
         ]
         feats = mcfg.perception_output_features

@@ -171,6 +171,231 @@ def convert_regnety_statedict(state: Mapping[str, Any]
     return params, stats
 
 
+def convert_convnext_statedict(state: Mapping[str, Any]
+                               ) -> Tuple[Dict, Dict]:
+    """timm ConvNeXt state dict (stem.0/1, stages.S.blocks.B.{conv_dw,norm,
+    mlp.fc1,mlp.fc2,gamma}, stages.S.downsample.{0,1} — the names a reference
+    convnext checkpoint carries, transfuser.py:394-416 surgery only aliases)
+    -> (params, batch_stats={}) for encoders.ConvNeXt."""
+    params: Dict = {}
+    state = {k: _to_numpy(v) for k, v in strip_ddp_prefix(state).items()}
+
+    _set(params, ("_stem_conv", "kernel"), convert_conv(state["stem.0.weight"]))
+    _set(params, ("_stem_conv", "bias"), state["stem.0.bias"])
+    _set(params, ("_stem_norm", "scale"), state["stem.1.weight"])
+    _set(params, ("_stem_norm", "bias"), state["stem.1.bias"])
+
+    block_re = re.compile(r"stages\.(\d+)\.blocks\.(\d+)\.")
+    blocks = sorted({(int(m.group(1)), int(m.group(2)))
+                     for k in state if (m := block_re.match(k))})
+    for stage, block in blocks:
+        src = f"stages.{stage}.blocks.{block}"
+        dst = (f"_stages_{stage}_{block}",)
+        _set(params, dst + ("Conv_0", "kernel"),
+             convert_conv(state[f"{src}.conv_dw.weight"]))
+        _set(params, dst + ("Conv_0", "bias"), state[f"{src}.conv_dw.bias"])
+        _set(params, dst + ("LayerNorm_0", "scale"), state[f"{src}.norm.weight"])
+        _set(params, dst + ("LayerNorm_0", "bias"), state[f"{src}.norm.bias"])
+        _set(params, dst + ("Dense_0", "kernel"),
+             convert_linear(state[f"{src}.mlp.fc1.weight"]))
+        _set(params, dst + ("Dense_0", "bias"), state[f"{src}.mlp.fc1.bias"])
+        _set(params, dst + ("Dense_1", "kernel"),
+             convert_linear(state[f"{src}.mlp.fc2.weight"]))
+        _set(params, dst + ("Dense_1", "bias"), state[f"{src}.mlp.fc2.bias"])
+        _set(params, dst + ("gamma",), state[f"{src}.gamma"])
+    down_re = re.compile(r"stages\.(\d+)\.downsample\.0\.weight")
+    for k in state:
+        m = down_re.match(k)
+        if not m:
+            continue
+        stage = int(m.group(1))
+        src = f"stages.{stage}.downsample"
+        # _downs index is stage-1 (no downsample before stage 0)
+        _set(params, (f"_downs_{stage - 1}_0", "scale"),
+             state[f"{src}.0.weight"])
+        _set(params, (f"_downs_{stage - 1}_0", "bias"), state[f"{src}.0.bias"])
+        _set(params, (f"_downs_{stage - 1}_1", "kernel"),
+             convert_conv(state[f"{src}.1.weight"]))
+        _set(params, (f"_downs_{stage - 1}_1", "bias"), state[f"{src}.1.bias"])
+    return params, {}
+
+
+def encoder_converter(arch: str):
+    """Converter for a timm-named encoder state dict, by arch family."""
+    if arch.startswith("regnety"):
+        return convert_regnety_statedict
+    if arch.startswith("resnet"):
+        return convert_resnet_statedict
+    if arch.startswith("convnext"):
+        return convert_convnext_statedict
+    raise ValueError(f"no state-dict converter for encoder '{arch}'")
+
+
+def _sub_state(state: Mapping[str, np.ndarray], prefix: str
+               ) -> Dict[str, np.ndarray]:
+    n = len(prefix)
+    return {k[n:]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+def _convert_gpt(state: Mapping[str, np.ndarray]) -> Dict:
+    """One reference GPT module (transfuser.py:284-358) -> GPTFusion params.
+
+    Keys: pos_emb, vel_emb.*, blocks.{i}.{ln1,ln2,attn.{key,query,value,proj},
+    mlp.{0,2}}, ln_f. Linear weights transpose; LayerNorm weight->scale.
+    """
+    p: Dict = {}
+    _set(p, ("pos_emb",), state["pos_emb"])
+    if "vel_emb.weight" in state:
+        _set(p, ("vel_emb", "kernel"), convert_linear(state["vel_emb.weight"]))
+        _set(p, ("vel_emb", "bias"), state["vel_emb.bias"])
+
+    block_re = re.compile(r"blocks\.(\d+)\.")
+    n_layer = 1 + max(int(m.group(1))
+                      for k in state if (m := block_re.match(k)))
+    for i in range(n_layer):
+        src = f"blocks.{i}"
+        dst = (f"block_{i}",)
+        for ln in ("ln1", "ln2"):
+            _set(p, dst + (ln, "scale"), state[f"{src}.{ln}.weight"])
+            _set(p, dst + (ln, "bias"), state[f"{src}.{ln}.bias"])
+        for lin in ("key", "query", "value", "proj"):
+            _set(p, dst + ("attn", lin, "kernel"),
+                 convert_linear(state[f"{src}.attn.{lin}.weight"]))
+            _set(p, dst + ("attn", lin, "bias"), state[f"{src}.attn.{lin}.bias"])
+        _set(p, dst + ("mlp_fc", "kernel"),
+             convert_linear(state[f"{src}.mlp.0.weight"]))
+        _set(p, dst + ("mlp_fc", "bias"), state[f"{src}.mlp.0.bias"])
+        _set(p, dst + ("mlp_proj", "kernel"),
+             convert_linear(state[f"{src}.mlp.2.weight"]))
+        _set(p, dst + ("mlp_proj", "bias"), state[f"{src}.mlp.2.bias"])
+    _set(p, ("ln_f", "scale"), state["ln_f.weight"])
+    _set(p, ("ln_f", "bias"), state["ln_f.bias"])
+    return p
+
+
+def _put_conv(params: Dict, state: Mapping[str, np.ndarray], src: str,
+              dst: Tuple[str, ...]) -> None:
+    _set(params, dst + ("kernel",), convert_conv(state[f"{src}.weight"]))
+    if f"{src}.bias" in state:
+        _set(params, dst + ("bias",), state[f"{src}.bias"])
+
+
+def _put_linear(params: Dict, state: Mapping[str, np.ndarray], src: str,
+                dst: Tuple[str, ...]) -> None:
+    _set(params, dst + ("kernel",), convert_linear(state[f"{src}.weight"]))
+    if f"{src}.bias" in state:
+        _set(params, dst + ("bias",), state[f"{src}.bias"])
+
+
+def _convert_deconv_stack(state: Mapping[str, np.ndarray]) -> Dict:
+    """Seg/Depth decoder Sequentials (transfuser.py:214-281): deconv{K}.{0,2}
+    -> stack/deconv{K}_{0,1}."""
+    p: Dict = {}
+    for k in (1, 2, 3):
+        _put_conv(p, state, f"deconv{k}.0", ("stack", f"deconv{k}_0"))
+        _put_conv(p, state, f"deconv{k}.2", ("stack", f"deconv{k}_1"))
+    return p
+
+
+def convert_transfuser_backbone_statedict(
+        state: Mapping[str, np.ndarray], image_architecture: str,
+        lidar_architecture: str) -> Tuple[Dict, Dict]:
+    """Reference TransfuserBackbone (transfuser.py:7-211) -> our
+    models.transfuser.TransfuserBackbone params/batch_stats.
+
+    ``state`` keys are relative to the backbone ('image_encoder.features.*',
+    'transformer1.*', 'c5_conv.*', ...). The regnet/convnext module surgery
+    (transfuser.py:383-416) registers alias names (conv1, layer1, ...) for the
+    same tensors; converters key off the canonical timm names so aliases are
+    ignored.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    img_conv = encoder_converter(image_architecture)
+    lid_conv = encoder_converter(lidar_architecture)
+    p, s = img_conv(_sub_state(state, "image_encoder.features."))
+    params["image_encoder"], stats["image_encoder"] = p, s
+    p, s = lid_conv(_sub_state(state, "lidar_encoder._model."))
+    params["lidar_encoder"], stats["lidar_encoder"] = p, s
+    for i in (1, 2, 3, 4):
+        params[f"transformer{i}"] = _convert_gpt(
+            _sub_state(state, f"transformer{i}."))
+    if "change_channel_conv_image.weight" in state:
+        _put_conv(params, state, "change_channel_conv_image",
+                  ("change_channel_conv_image",))
+        _put_conv(params, state, "change_channel_conv_lidar",
+                  ("change_channel_conv_lidar",))
+    for name in ("c5_conv", "up_conv5", "up_conv4", "up_conv3"):
+        _put_conv(params, state, name, ("top_down", name))
+    return params, stats
+
+
+def convert_lidar_centernet_statedict(state: Mapping[str, Any],
+                                      config: Any) -> Dict[str, Dict]:
+    """Full reference ``model_*.pth`` state dict (LidarCenterNet,
+    model.py:538-609) -> flax variables {'params', 'batch_stats'} for
+    models.lidar_centernet.LidarCenterNet.
+
+    Covers backbone (transFuser), seg/depth decoders, pred_bev convs, the
+    7-branch CenterNet head (model.py:70-99), the join MLP + GRUCell + output
+    (model.py:592-609). PID controller state (not parameters) is ignored.
+    """
+    state = {k: _to_numpy(v) for k, v in strip_ddp_prefix(state).items()}
+    mcfg = config.model
+    if mcfg.backbone != "transFuser":
+        raise NotImplementedError(
+            f"checkpoint import implemented for transFuser; got {mcfg.backbone}")
+
+    params: Dict = {}
+    stats: Dict = {}
+    p, s = convert_transfuser_backbone_statedict(
+        _sub_state(state, "_model."), mcfg.image_architecture,
+        mcfg.lidar_architecture)
+    params["backbone"], stats["backbone"] = p, s
+
+    if mcfg.multitask:
+        params["seg_decoder"] = _convert_deconv_stack(
+            _sub_state(state, "seg_decoder."))
+        params["depth_decoder"] = _convert_deconv_stack(
+            _sub_state(state, "depth_decoder."))
+
+    _put_conv(params, state, "pred_bev.0", ("pred_bev_conv0",))
+    _put_conv(params, state, "pred_bev.2", ("pred_bev_conv1",))
+
+    head: Dict = {}
+    for branch in ("heatmap", "wh", "offset", "yaw_class", "yaw_res",
+                   "velocity", "brake"):
+        _put_conv(head, state, f"head.{branch}_head.0", (branch, "conv0"))
+        _put_conv(head, state, f"head.{branch}_head.2", (branch, "conv1"))
+    params["head"] = head
+
+    gru: Dict = {}
+    for i, j in enumerate((0, 2, 4)):
+        _put_linear(gru, state, f"join.{j}", (f"join_{i}",))
+    # torch GRUCell: weight_ih (3H, in) rows ordered [r; z; n] — matches
+    # TorchGRUCell's split order; bias_ih/bias_hh stay separate.
+    _set(gru, ("cell", "weight_ih", "kernel"),
+         convert_linear(state["decoder.weight_ih"]))
+    _set(gru, ("cell", "weight_ih", "bias"), state["decoder.bias_ih"])
+    _set(gru, ("cell", "weight_hh", "kernel"),
+         convert_linear(state["decoder.weight_hh"]))
+    _set(gru, ("cell", "weight_hh", "bias"), state["decoder.bias_hh"])
+    _put_linear(gru, state, "output", ("output",))
+    params["wp_gru"] = gru
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_reference_checkpoint(path: str, config: Any) -> Dict[str, Dict]:
+    """Load a reference ``model_*.pth`` file (torch.save state dict,
+    submission_agent.py:93-95) and convert to flax variables."""
+    import torch
+    state = torch.load(path, map_location="cpu")
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return convert_lidar_centernet_statedict(state, config)
+
+
 def _flat_leaves(tree: Dict, prefix: Tuple[str, ...] = ()):
     out = []
     for k in sorted(tree.keys()):
