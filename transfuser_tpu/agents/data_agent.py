@@ -106,19 +106,76 @@ class DataAgent(AutoPilot):
                         depth.astype(np.uint8))
         sem = self._strip(input_data, "semantics")
         if sem is not None:
-            sem2d = sem[..., 0] if sem.ndim == 3 else sem
-            cv2.imwrite(str(sp / "semantics" / f"{frame:04d}.png"),
-                        sem2d.astype(np.uint8))
+            sem2d = (sem[..., 0] if sem.ndim == 3 else sem).astype(np.uint8)
+            if depth is not None:
+                # traffic-light relabel on the strip (data_agent.py:562-581)
+                self._change_seg_tl(sem2d, self._depth_strip_meters(depth))
+            cv2.imwrite(str(sp / "semantics" / f"{frame:04d}.png"), sem2d)
 
+        pts = None
         if "lidar" in input_data:
             pts = np.asarray(input_data["lidar"][1], np.float32)
             np.save(str(sp / "lidar" / f"{frame:04d}.npy"),
                     np.array([None, pts], dtype=object), allow_pickle=True)
 
-        self._save_labels(frame)
+        self._save_labels(frame, lidar=pts)
         self._save_topdown(frame)
 
-    def _save_labels(self, frame: int) -> None:
+    @staticmethod
+    def _depth_strip_meters(depth_rgb: np.ndarray) -> np.ndarray:
+        """24-bit RGB depth strip -> meters (data_agent.py:601-613)."""
+        d = depth_rgb.astype(np.float32)
+        normalized = d[..., 0] * 65536.0 + d[..., 1] * 256.0 + d[..., 2]
+        normalized /= (256.0 ** 3 - 1.0)
+        return 1000.0 * normalized
+
+    def _change_seg_tl(self, seg_img: np.ndarray, depth_m: np.ndarray,
+                       region_size: float = 4.0) -> None:
+        """Split the raw traffic-light class (18) into red (23) / yellow
+        (24) using the state of the light affecting the ego, in place
+        (data_agent.py:562-581). SEMANTIC_CONVERTER maps 23/24 -> training
+        class 3, 18 -> 0."""
+        sim = self.sim
+        if sim is None:
+            return
+        ego = sim.ego_transform
+        cam = np.array([ego.location.x, ego.location.y, 2.3])
+        best = None
+        for tl in sim.actors:
+            if not tl.type_id.startswith("traffic_light"):
+                continue
+            if tl.state not in ("Red", "Yellow"):
+                continue
+            d = math.sqrt((tl.transform.location.x - cam[0]) ** 2
+                          + (tl.transform.location.y - cam[1]) ** 2
+                          + (tl.transform.location.z + 2.0 - cam[2]) ** 2)
+            if d < 40.0 and (best is None or d < best[0]):
+                best = (d, tl.state)
+        if best is None:
+            return
+        dist, state = best
+        state_id = 23 if state == "Red" else 24
+        region = np.abs(depth_m - dist)
+        seg_img[(region < region_size) & (seg_img == 18)] = state_id
+
+    @staticmethod
+    def _points_in_bbox(ego_matrix: np.ndarray, actor_matrix: np.ndarray,
+                        extent_half: np.ndarray, lidar: np.ndarray) -> int:
+        """Count raw-lidar-frame points inside an actor's box
+        (data_agent.py:362-379, without the x/y swap quirk — our transform
+        chain is self-consistent, verified by test_datagen)."""
+        from .. import geometry
+        tr = np.linalg.inv(actor_matrix) @ ego_matrix \
+            @ geometry.lidar_to_vehicle()
+        pts = tr[:3, :3] @ lidar[:, :3].T + tr[:3, 3:]
+        ex, ey, ez = extent_half
+        # actor origin sits on the ground plane in the hermetic backend;
+        # box spans z in [0, 2*ez]
+        return int(((np.abs(pts[0]) < ex) & (np.abs(pts[1]) < ey)
+                    & (pts[2] > 0.0) & (pts[2] < 2 * ez)).sum())
+
+    def _save_labels(self, frame: int,
+                     lidar: Optional[np.ndarray] = None) -> None:
         """Per-actor label records; ego is record 0 (get_bev_cars,
         data_agent.py:282-361)."""
         sim = self.sim
@@ -148,9 +205,16 @@ class DataAgent(AutoPilot):
             dist = float(np.linalg.norm(rel))
             if dist > 50.0:
                 continue
-            # crude visibility proxy for num_lidar_points (the real backend
-            # counts raycast hits, data_agent.py:282-361)
-            num_points = max(0, int(600 / max(dist, 1.0)))
+            if lidar is not None:
+                # real count: points of the saved cloud inside the box
+                # (data_agent.py:357-362)
+                num_points = self._points_in_bbox(
+                    ego_tf.matrix(), actor.transform.matrix(),
+                    np.array([actor.extent.x, actor.extent.y,
+                              actor.extent.z]), lidar)
+            else:
+                # visibility proxy when no cloud is available this frame
+                num_points = max(0, int(600 / max(dist, 1.0)))
             records.append({
                 "id": actor.actor_id,
                 "class": "Pedestrian" if actor.type_id.startswith("walker")
@@ -175,7 +239,8 @@ class DataAgent(AutoPilot):
             return
         if self._rasterizer is None:
             dense = [tf for tf, _ in self._dense_route_world()]
-            self._rasterizer = BevRasterizer(dense)
+            self._rasterizer = BevRasterizer(
+                dense, town_map=getattr(sim, "town_map", None))
         bev = self._rasterizer.render(sim.ego_transform, sim.actors)
         packed = encode_bev_to_png(bev)
         cv2.imwrite(str(self.save_path / "topdown"

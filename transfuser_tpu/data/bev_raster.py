@@ -80,15 +80,24 @@ def _box_mask(h: int, w: int, center: np.ndarray, extent: np.ndarray,
 
 
 class BevRasterizer:
-    """Renders the ego-centric 15-channel BEV used for topdown labels."""
+    """Renders the ego-centric 15-channel BEV used for topdown labels.
 
-    def __init__(self, route: Sequence[Transform],
+    With a `town_map` (sim/town_map.TownMap) the road (ch10) and
+    lane-marking (ch11) channels cover the WHOLE road network near the ego
+    — including off-route roads — matching the reference's full-OpenDRIVE
+    rendering (utils/lts_rendering.py:13-478, map_utils.py:89-268). The
+    route-band path is the map-less fallback.
+    """
+
+    def __init__(self, route: Sequence[Transform] = (),
                  road_half_width_m: float = 3.5,
-                 lane_marking_width_m: float = 0.2):
+                 lane_marking_width_m: float = 0.2,
+                 town_map=None):
         self.route_xy = np.array([[t.location.x, t.location.y]
-                                  for t in route])
+                                  for t in route]).reshape(-1, 2)
         self.road_half_width = road_half_width_m
         self.lane_width = lane_marking_width_m
+        self.town_map = town_map
 
     def _world_to_px(self, xy: np.ndarray, ego_xy: np.ndarray,
                      ego_yaw: float) -> np.ndarray:
@@ -101,22 +110,51 @@ class BevRasterizer:
         py = 250.0 - fwd * PIXELS_PER_METER
         return np.stack([px, py], axis=-1)
 
+    def _render_map(self, ego_xy: np.ndarray, ego_yaw: float
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Road + lane-marking masks from the full lane network near ego."""
+        road = np.zeros((WINDOW, WINDOW), bool)
+        marks = np.zeros((WINDOW, WINDOW), bool)
+        radius = (WINDOW / 2.0) / PIXELS_PER_METER * 1.5
+        for lane in self.town_map.lanes_near(ego_xy[0], ego_xy[1], radius):
+            cl = lane.centerline
+            px = self._world_to_px(cl, ego_xy, ego_yaw)
+            half = lane.width / 2.0
+            road |= _line_mask(WINDOW, WINDOW, px, half * PIXELS_PER_METER)
+            if lane.is_junction:
+                continue  # no painted markings inside junctions
+            # boundary polylines at +-width/2 lateral offset
+            d = np.gradient(cl, axis=0)
+            norm = np.hypot(d[:, 0], d[:, 1])
+            norm = np.where(norm < 1e-9, 1e-9, norm)
+            n = np.stack([-d[:, 1] / norm, d[:, 0] / norm], axis=1)
+            for side in (-1.0, 1.0):
+                edge = cl + side * half * n
+                edge_px = self._world_to_px(edge, ego_xy, ego_yaw)
+                marks |= _line_mask(
+                    WINDOW, WINDOW, edge_px,
+                    max(self.lane_width * PIXELS_PER_METER, 1.0))
+        return road, marks
+
     def render(self, ego: Transform, actors: Sequence[Actor]) -> np.ndarray:
         """-> (15, 500, 500) uint8 local BEV."""
         bev = np.zeros((N_CHANNELS, WINDOW, WINDOW), np.uint8)
         ego_xy = np.array([ego.location.x, ego.location.y])
         ego_yaw = math.radians(ego.rotation.yaw)
 
-        route_px = self._world_to_px(self.route_xy, ego_xy, ego_yaw)
-        road = _line_mask(WINDOW, WINDOW, route_px,
-                          self.road_half_width * PIXELS_PER_METER)
-        lanes = _line_mask(WINDOW, WINDOW, route_px,
-                           self.road_half_width * PIXELS_PER_METER)
-        inner = _line_mask(
-            WINDOW, WINDOW, route_px,
-            (self.road_half_width - self.lane_width) * PIXELS_PER_METER)
-        bev[10] = road
-        bev[11] = lanes & ~inner  # lane boundary band
+        if self.town_map is not None:
+            road, marks = self._render_map(ego_xy, ego_yaw)
+            bev[10] = road
+            bev[11] = marks
+        else:
+            route_px = self._world_to_px(self.route_xy, ego_xy, ego_yaw)
+            road = _line_mask(WINDOW, WINDOW, route_px,
+                              self.road_half_width * PIXELS_PER_METER)
+            inner = _line_mask(
+                WINDOW, WINDOW, route_px,
+                (self.road_half_width - self.lane_width) * PIXELS_PER_METER)
+            bev[10] = road
+            bev[11] = road & ~inner  # lane boundary band
 
         for actor in actors:
             a_xy = np.array([actor.transform.location.x,

@@ -59,9 +59,13 @@ def default_sensor_feeder(sim, agent: AutonomousAgent) -> None:
                 data = _resize_image(data, h, w)
         elif stype in ("sensor.camera.semantic_segmentation",
                        "sensor.camera.depth"):
-            h, w = spec.get("height", 160), spec.get("width", 320)
-            ch = 1 if stype.endswith("segmentation") else 3
-            data = np.zeros((h, w, ch), np.uint8)
+            kind = "semantic" if stype.endswith("segmentation") else "depth"
+            if hasattr(sim, "render_camera"):
+                data = sim.render_camera(spec, kind)
+            else:
+                h, w = spec.get("height", 160), spec.get("width", 320)
+                data = np.zeros((h, w, 1 if kind == "semantic" else 3),
+                                np.uint8)
         elif stype == "sensor.lidar.ray_cast":
             data = frame["lidar"]
         elif stype == "sensor.other.gnss":

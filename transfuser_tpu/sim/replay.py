@@ -92,6 +92,11 @@ class ReplaySimulation:
         # ControlLoss-style in-sim actuation perturbation (one tick each).
         self._steer_perturbation = 0.0
         self.town_map = town_map
+        # camera render cache: {sensor_id: (frame, data)}; semantic/depth
+        # frames re-render every `camera_refresh` ticks (datagen consumes
+        # every save_freq-th frame, data_agent.py:166-183)
+        self.camera_refresh = 10
+        self._camera_cache: Dict[str, Tuple[int, Any]] = {}
         # Optional sim.traffic.TrafficManager: stepped inside tick() so
         # background vehicles + light phases advance with the world.
         self.traffic = None
@@ -185,8 +190,9 @@ class ReplaySimulation:
             idx = min(self.frame, len(self.recorded) - 1)
             return self.recorded[idx]
         h, w = self._camera_shape
-        lidar = self._rng.uniform(
-            -30, 30, (self._lidar_points, 4)).astype(np.float32)
+        from .sensors import synth_lidar
+        lidar = synth_lidar(self, ground_points=self._lidar_points,
+                            rng=self._rng)
         if self._lidar_dropoff > 0.0:
             # eval-profile general dropoff (agent_wrapper_local.py:133-138)
             keep = self._rng.random(lidar.shape[0]) >= self._lidar_dropoff
@@ -231,6 +237,31 @@ class ReplaySimulation:
                 n.get("noise_lon_stddev", 0.0),
                 n.get("noise_alt_stddev", 0.0)])
         return gps
+
+    # -------------------------------------------------------------- cameras
+    def render_camera(self, spec: Dict[str, Any], kind: str) -> np.ndarray:
+        """Synthesize a camera frame for a declared sensor spec.
+
+        kind: 'semantic' -> (H, W, 1) raw CARLA class ids, 'depth' ->
+        (H, W, 3) 24-bit RGB encoding, 'rgb' -> (H, W, 3) palette render.
+        Frames are cached and re-rendered every `camera_refresh` ticks.
+        """
+        from .sensors import (PinholeCamera, encode_depth_rgb,
+                              semantic_to_rgb)
+        key = f"{spec.get('id', '?')}:{kind}"
+        cached = self._camera_cache.get(key)
+        if cached is not None and self.frame - cached[0] < self.camera_refresh:
+            return cached[1]
+        cam = PinholeCamera.from_spec(spec)
+        sem, depth = cam.render(self)
+        if kind == "semantic":
+            data = sem[..., None]
+        elif kind == "depth":
+            data = encode_depth_rgb(depth)
+        else:
+            data = semantic_to_rgb(sem, self._rng)
+        self._camera_cache[key] = (self.frame, data)
+        return data
 
     # ------------------------------------------------------------ inspection
     def ego_location(self) -> Location:

@@ -1,0 +1,273 @@
+"""Procedural camera + lidar synthesis for the hermetic backend.
+
+Gives the datagen path real (if stylized) sensor content so the label
+machinery has something true to measure:
+
+  * semantic cameras emit raw CARLA class ids (the input alphabet of
+    SEMANTIC_CONVERTER, reference config.py:88-117): road 7, sidewalk 8,
+    pedestrian 4, vehicle 10, traffic light 18, sky 13;
+  * depth cameras emit the 24-bit RGB encoding the reference decodes with
+    ``data_agent.py:_get_depth`` / our data/decoders.decode_depth;
+  * lidar returns raycast-style points on actor bounding boxes (density
+    ~ 1/distance^2) plus ground returns, in the RAW lidar sensor frame
+    (data_agent.py:399-410) — so DataAgent's points-in-bbox counting
+    (data_agent.py:362-379) measures the actual saved cloud.
+
+Everything is numpy on the host.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .. import geometry
+
+SKY = 13
+ROAD = 7
+SIDEWALK = 8
+VEHICLE = 10
+PEDESTRIAN = 4
+TRAFFIC_LIGHT = 18
+
+# flat render colors for the synthetic rgb camera (id -> rgb)
+_PALETTE = {
+    SKY: (135, 206, 235), ROAD: (70, 70, 70), SIDEWALK: (160, 160, 160),
+    VEHICLE: (0, 0, 142), PEDESTRIAN: (220, 20, 60),
+    TRAFFIC_LIGHT: (250, 170, 30), 0: (30, 60, 30),
+}
+
+
+def encode_depth_rgb(depth_m: np.ndarray) -> np.ndarray:
+    """Metric depth -> CARLA 24-bit RGB encoding (R is the high byte),
+    inverse of data/decoders.decode_depth."""
+    normalized = np.clip(depth_m / 1000.0, 0.0, 1.0)
+    v = (normalized * (256.0 ** 3 - 1.0)).astype(np.uint32)
+    out = np.zeros(depth_m.shape + (3,), np.uint8)
+    out[..., 0] = (v >> 16) & 0xFF
+    out[..., 1] = (v >> 8) & 0xFF
+    out[..., 2] = v & 0xFF
+    return out
+
+
+def semantic_to_rgb(sem: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Palette-render a semantic id image into a plausible rgb frame."""
+    rgb = np.zeros(sem.shape + (3,), np.uint8)
+    for cid, color in _PALETTE.items():
+        rgb[sem == cid] = color
+    noise = rng.integers(-12, 13, rgb.shape, dtype=np.int16)
+    return np.clip(rgb.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
+
+class PinholeCamera:
+    """Minimal z-buffered rasterizer for one declared camera spec."""
+
+    def __init__(self, width: int, height: int, fov_deg: float,
+                 x: float = 1.3, y: float = 0.0, z: float = 2.3,
+                 yaw_deg: float = 0.0):
+        self.w, self.h = int(width), int(height)
+        self.fov = float(fov_deg)
+        self.offset = np.array([x, y, z])
+        self.yaw = math.radians(yaw_deg)
+        self.fx = self.w / (2.0 * math.tan(math.radians(self.fov) / 2.0))
+        self.fy = self.fx
+        self.cx, self.cy = self.w / 2.0, self.h / 2.0
+        # per-pixel ray directions in camera frame (x fwd, y right, z up)
+        us, vs = np.meshgrid(np.arange(self.w) + 0.5,
+                             np.arange(self.h) + 0.5)
+        self.dir_y = (us - self.cx) / self.fx
+        self.dir_z = -(vs - self.cy) / self.fy
+
+    @classmethod
+    def from_spec(cls, spec: Dict) -> "PinholeCamera":
+        return cls(spec.get("width", 320), spec.get("height", 160),
+                   spec.get("fov", 60), spec.get("x", 1.3),
+                   spec.get("y", 0.0), spec.get("z", 2.3),
+                   spec.get("yaw", 0.0))
+
+    # ------------------------------------------------------------ helpers
+    def _world_to_cam(self, pts_world: np.ndarray, ego_xy: np.ndarray,
+                      ego_yaw: float) -> np.ndarray:
+        """(N, 3) world -> camera frame (x fwd, y right, z up)."""
+        c, s = math.cos(ego_yaw), math.sin(ego_yaw)
+        rel = pts_world.copy()
+        rel[:, 0] -= ego_xy[0]
+        rel[:, 1] -= ego_xy[1]
+        # world -> ego vehicle frame (carla: x fwd, y right; local = R^T rel)
+        xe = rel[:, 0] * c + rel[:, 1] * s
+        ye = -rel[:, 0] * s + rel[:, 1] * c
+        ze = rel[:, 2]
+        v = np.stack([xe, ye, ze], axis=1) - self.offset
+        cy, sy = math.cos(self.yaw), math.sin(self.yaw)
+        xc = v[:, 0] * cy + v[:, 1] * sy
+        yc = -v[:, 0] * sy + v[:, 1] * cy
+        return np.stack([xc, yc, v[:, 2]], axis=1)
+
+    def _project(self, cam: np.ndarray) -> np.ndarray:
+        """(N, 3) cam-frame -> (N, 2) pixel coords (no clipping)."""
+        x = np.maximum(cam[:, 0], 1e-6)
+        u = self.cx + self.fx * cam[:, 1] / x
+        v = self.cy - self.fy * cam[:, 2] / x
+        return np.stack([u, v], axis=1)
+
+    # ------------------------------------------------------------- render
+    def render(self, sim) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (semantic raw-id (H, W) uint8, depth_m (H, W) float32)."""
+        import cv2
+        h, w = self.h, self.w
+        depth = np.full((h, w), 1000.0, np.float32)
+        sem = np.full((h, w), SKY, np.uint8)
+
+        ego = sim.ego_transform
+        ego_xy = np.array([ego.location.x, ego.location.y])
+        ego_yaw = math.radians(ego.rotation.yaw)
+
+        # ground plane (z = 0, camera at height offset[2])
+        dz = self.dir_z
+        below = dz < -1e-4
+        t = np.where(below, self.offset[2] / np.maximum(-dz, 1e-6), np.inf)
+        ground_depth = t.astype(np.float32)  # x_cam of the hit is t * 1
+        hit = below & (ground_depth < 200.0)
+        depth[hit] = ground_depth[hit]
+        sem[hit] = SIDEWALK
+        if sim.town_map is not None:
+            # classify road pixels on a subsampled grid, then upsample
+            step = 4
+            ys, xs = np.mgrid[0:h:step, 0:w:step]
+            sub_hit = hit[ys, xs]
+            sub_t = np.where(sub_hit, t[ys, xs], 0.0)
+            dy = self.dir_y[ys, xs]
+            # hit point in camera frame -> world xy
+            xc = sub_t
+            yc = sub_t * dy
+            cyw, syw = math.cos(self.yaw), math.sin(self.yaw)
+            xe = xc * cyw - yc * syw + self.offset[0]
+            ye = xc * syw + yc * cyw + self.offset[1]
+            ce, se = math.cos(ego_yaw), math.sin(ego_yaw)
+            wx = ego_xy[0] + xe * ce - ye * se
+            wy = ego_xy[1] + xe * se + ye * ce
+            road_sub = np.zeros(sub_t.shape, bool)
+            it = np.nditer(sub_hit, flags=["multi_index"])
+            for ok in it:
+                if ok:
+                    i, j = it.multi_index
+                    road_sub[i, j] = sim.town_map.on_road(
+                        float(wx[i, j]), float(wy[i, j]))
+            road_full = cv2.resize(road_sub.astype(np.uint8), (w, h),
+                                   interpolation=cv2.INTER_NEAREST) > 0
+            sem[hit & road_full] = ROAD
+
+        # actors: painter's algorithm far -> near
+        actors = []
+        for a in sim.actors:
+            d = math.hypot(a.transform.location.x - ego_xy[0],
+                           a.transform.location.y - ego_xy[1])
+            if d < 120.0:
+                actors.append((d, a))
+        actors.sort(key=lambda p: -p[0])
+        for d, a in actors:
+            if a.type_id.startswith("traffic_light"):
+                cls_id = TRAFFIC_LIGHT
+                half = np.array([0.3, 0.3, 1.5])
+                base_z = 2.0  # head mounted above ground
+            elif a.type_id.startswith("walker"):
+                cls_id = PEDESTRIAN
+                half = np.array([a.extent.x, a.extent.y, a.extent.z])
+                base_z = 0.0
+            elif a.type_id.startswith("vehicle"):
+                cls_id = VEHICLE
+                half = np.array([a.extent.x, a.extent.y, a.extent.z])
+                base_z = 0.0
+            else:
+                continue
+            corners = _box_corners_world(a.transform, half, base_z)
+            cam = self._world_to_cam(corners, ego_xy, ego_yaw)
+            if np.all(cam[:, 0] <= 0.2):
+                continue
+            cam[:, 0] = np.maximum(cam[:, 0], 0.2)
+            px = self._project(cam)
+            if np.all(px[:, 0] < 0) or np.all(px[:, 0] >= w) or \
+                    np.all(px[:, 1] < 0) or np.all(px[:, 1] >= h):
+                continue
+            hull = cv2.convexHull(px.astype(np.int32))
+            mask = np.zeros((h, w), np.uint8)
+            cv2.fillConvexPoly(mask, hull, 1)
+            m = mask.astype(bool)
+            box_depth = float(np.min(cam[:, 0]))
+            nearer = m & (box_depth < depth)
+            depth[nearer] = box_depth
+            sem[nearer] = cls_id
+        return sem, depth
+
+
+def _box_corners_world(transform, half: np.ndarray,
+                       base_z: float) -> np.ndarray:
+    """8 world-frame corners of an upright box sitting base_z above ground."""
+    cx, cy = transform.location.x, transform.location.y
+    yaw = math.radians(transform.rotation.yaw)
+    c, s = math.cos(yaw), math.sin(yaw)
+    out = []
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            lx, ly = sx * half[0], sy * half[1]
+            wx = cx + lx * c - ly * s
+            wy = cy + lx * s + ly * c
+            for z in (base_z, base_z + 2 * half[2]):
+                out.append([wx, wy, z])
+    return np.array(out)
+
+
+def synth_lidar(sim, max_range: float = 50.0,
+                ground_points: int = 1200,
+                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Raycast-style point cloud in the RAW lidar sensor frame (x, y, z, i).
+
+    Points on actor bounding boxes with ~1/d^2 density (a 2 m-tall car at
+    10 m gets a few hundred returns, matching the magnitude the reference's
+    visibility filters assume) plus uniform ground returns.
+    """
+    rng = rng or np.random.default_rng(0)
+    ego = sim.ego_transform
+    ego_xy = np.array([ego.location.x, ego.location.y])
+    ego_yaw = math.radians(ego.rotation.yaw)
+    c, s = math.cos(ego_yaw), math.sin(ego_yaw)
+
+    pts_v = []  # ego VEHICLE frame (carla: x fwd, y right, z up from ground)
+    # ground disc
+    r = np.sqrt(rng.random(ground_points)) * max_range
+    th = rng.random(ground_points) * 2 * np.pi
+    gx, gy = r * np.cos(th), r * np.sin(th)
+    pts_v.append(np.stack([gx, gy, np.zeros_like(gx)], axis=1))
+
+    for a in sim.actors:
+        if a.type_id.startswith("traffic_light") or \
+                a.type_id.startswith("static"):
+            continue
+        ax = a.transform.location.x - ego_xy[0]
+        ay = a.transform.location.y - ego_xy[1]
+        # world -> ego vehicle frame (carla: x fwd, y right)
+        xe = ax * c + ay * s
+        ye = -ax * s + ay * c
+        d = math.hypot(xe, ye)
+        if d > max_range or d < 0.1:
+            continue
+        area = 4.0 * a.extent.x * a.extent.z + 4.0 * a.extent.y * a.extent.z
+        n = int(min(600.0, max(6.0, 4000.0 * area / (d * d))))
+        dyaw = math.radians(a.transform.rotation.yaw) - ego_yaw
+        ca, sa = math.cos(dyaw), math.sin(dyaw)
+        lx = rng.uniform(-a.extent.x, a.extent.x, n)
+        ly = rng.uniform(-a.extent.y, a.extent.y, n)
+        lz = rng.uniform(0.05, 2 * a.extent.z - 0.05, n)
+        wx = xe + lx * ca - ly * sa
+        wy = ye + lx * sa + ly * ca
+        pts_v.append(np.stack([wx, wy, lz], axis=1))
+
+    p = np.concatenate(pts_v, axis=0)
+    # vehicle frame -> raw lidar sensor frame (data_agent.py:399-410)
+    t_v2l = geometry.vehicle_to_lidar()
+    hom = np.concatenate([p, np.ones((p.shape[0], 1))], axis=1)
+    pl = (t_v2l @ hom.T).T[:, :3]
+    intensity = rng.random((pl.shape[0], 1)).astype(np.float64)
+    return np.concatenate([pl, intensity], axis=1).astype(np.float32)

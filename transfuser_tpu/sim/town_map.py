@@ -167,6 +167,20 @@ class TownMap:
                 best = (lane, s, lat)
         return best
 
+    def lanes_near(self, x: float, y: float, radius: float) -> List[Lane]:
+        """All lanes with at least one centerline sample within `radius`."""
+        seen = set()
+        out: List[Lane] = []
+        r2 = radius * radius
+        for lid, pi in self._candidates(x, y, radius):
+            if lid in seen:
+                continue
+            pt = self.lanes[lid].centerline[pi]
+            if (pt[0] - x) ** 2 + (pt[1] - y) ** 2 <= r2:
+                seen.add(lid)
+                out.append(self.lanes[lid])
+        return out
+
     def on_road(self, x: float, y: float, margin: float = 0.3) -> bool:
         """True if (x, y) lies within some lane's paved width."""
         hit = self.nearest_lane(x, y, max_dist=2 * LANE_WIDTH)
