@@ -43,10 +43,16 @@ def _rot_z(deg: float) -> np.ndarray:
     return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
-def lidar_cam_correspondences(world: np.ndarray, seed: int = 0
-                              ) -> Tuple[np.ndarray, np.ndarray]:
-    """world: (N, 3) raw CARLA-frame points (x left, y forward, z up)."""
-    rng = np.random.default_rng(seed)
+def project_correspondence_pairs(world: np.ndarray
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-resolution (bev_px, cam_px) pairs of the surviving points.
+
+    world: (N, 3) raw CARLA-frame points (x left, y forward, z up).
+    Returns (bev_xy (M, 2) int64 into the 256px BEV, cam_xy (M, 2) int64
+    into the 160x704 image strip) — the `valid_bev_points` /
+    `valid_cam_points` of the reference (data.py:806-822), golden-tested
+    against it in tests/test_correspondences_golden.py.
+    """
     pts = world[:, :3].astype(np.float64).copy()
     pts[:, 0] *= -1.0  # x now points right
 
@@ -87,6 +93,17 @@ def lidar_cam_correspondences(world: np.ndarray, seed: int = 0
               - (LIDAR_WH - 1))
     img_x = total[:, 0].astype(np.int64)
     img_y = -(total[:, 1].astype(np.int64) - (IMG_H - 1))
+    return (np.stack([bev_x, bev_y], axis=1),
+            np.stack([img_x, img_y], axis=1))
+
+
+def lidar_cam_correspondences(world: np.ndarray, seed: int = 0
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """world: (N, 3) raw CARLA-frame points (x left, y forward, z up)."""
+    rng = np.random.default_rng(seed)
+    bev_xy, cam_xy = project_correspondence_pairs(world)
+    bev_x, bev_y = bev_xy[:, 0], bev_xy[:, 1]
+    img_x, img_y = cam_xy[:, 0], cam_xy[:, 1]
 
     # Bin at 1/32 scale.
     lidar_cells = LIDAR_WH // DOWNSCALE                    # 8
