@@ -11,6 +11,7 @@ from __future__ import annotations
 import importlib
 import os
 import sys
+import time
 import traceback
 from dataclasses import dataclass
 from typing import Callable, Dict, Optional
@@ -98,6 +99,8 @@ class EvaluatorArgs:
     # criteria; None keeps the map-less legacy backend.
     town_map: Optional[str] = None
     datagen: bool = False
+    # print the per-route ANSI criteria table (result_writer.py:19-116)
+    print_route_table: bool = True
 
 
 def build_town_map(spec: Optional[str]):
@@ -171,7 +174,20 @@ class Evaluator:
                 timeout=args.timeout,
                 max_game_seconds=args.max_game_seconds)
             manager.load_scenario(scenario, agent, default_sensor_feeder)
+            start_system = time.time()
             manager.run_scenario()
+            if self.args.print_route_table:
+                from .result_writer import ResultOutputProvider
+                failed = any(c.test_status == "FAILURE"
+                             for c in scenario.criteria)
+                ResultOutputProvider(
+                    f"RouteScenario_{config.route_id}",
+                    "FAILURE" if failed else "SUCCESS",
+                    manager.duration_system, manager.duration_game,
+                    scenario.criteria,
+                    timeout=args.max_game_seconds,
+                    start_system_time=start_system,
+                    repetition=getattr(config, "repetition_index", 0))
             record = self.statistics.compute_route_statistics(
                 config.index, scenario.collect_events(),
                 config.trajectory, manager.duration_system,

@@ -21,10 +21,14 @@ import numpy as np
 
 @dataclass
 class TopologyEdge:
-    """One directed road segment: dense polyline + junction flag."""
+    """One directed road segment: dense polyline + junction flag +
+    topology links (edge indices)."""
 
     points: List[Tuple[float, float, float]]  # (x, y, yaw_deg)
     is_junction: bool = False
+    successors: List[int] = field(default_factory=list)
+    predecessors: List[int] = field(default_factory=list)
+    signalized: bool = False
 
 
 @dataclass
@@ -39,15 +43,51 @@ class TownGraph:
         return TownGraph(
             name=raw["name"],
             edges=[TopologyEdge(points=[tuple(p) for p in e["points"]],
-                                is_junction=e.get("is_junction", False))
+                                is_junction=e.get("is_junction", False),
+                                successors=list(e.get("successors", [])),
+                                predecessors=list(e.get("predecessors", [])),
+                                signalized=e.get("signalized", False))
                    for e in raw["edges"]])
 
     def to_json(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump({"name": self.name,
                        "edges": [{"points": e.points,
-                                  "is_junction": e.is_junction}
+                                  "is_junction": e.is_junction,
+                                  "successors": e.successors,
+                                  "predecessors": e.predecessors,
+                                  "signalized": e.signalized}
                                  for e in self.edges]}, f)
+
+    @staticmethod
+    def from_town_map(town_map, precision: float = 2.0) -> "TownGraph":
+        """Bridge from the hermetic road network (sim/town_map.TownMap) —
+        the stand-in for `carla_map.get_topology()` that the reference
+        generators walk (gen_routes_for_scen_1_3_4.py:25-27)."""
+        lane_ids = sorted(town_map.lanes)
+        index_of = {lid: i for i, lid in enumerate(lane_ids)}
+        signalized_lanes = set()
+        for tl in town_map.traffic_lights:
+            signalized_lanes.update(tl.controlled_lanes)
+        edges = []
+        for lid in lane_ids:
+            lane = town_map.lanes[lid]
+            pts = []
+            s = 0.0
+            while s < lane.length:
+                xy, yaw = lane.position(s)
+                pts.append((float(xy[0]), float(xy[1]), float(yaw)))
+                s += precision
+            xy, yaw = lane.position(lane.length)
+            pts.append((float(xy[0]), float(xy[1]), float(yaw)))
+            edges.append(TopologyEdge(
+                points=pts, is_junction=lane.is_junction,
+                successors=[index_of[i] for i in lane.successors
+                            if i in index_of],
+                predecessors=[index_of[i] for i in lane.predecessors
+                              if i in index_of],
+                signalized=lid in signalized_lanes))
+        return TownGraph(name=town_map.name, edges=edges)
 
 
 def _curvature(points: Sequence[Tuple[float, float, float]]) -> float:
@@ -77,6 +117,126 @@ def junction_entries(graph: TownGraph) -> List[Tuple[float, float, float]]:
     return [e.points[0] for e in graph.edges if e.is_junction and e.points]
 
 
+def _length(points: Sequence[Tuple[float, float, float]]) -> float:
+    pts = np.array([(p[0], p[1]) for p in points])
+    if len(pts) < 2:
+        return 0.0
+    return float(np.linalg.norm(np.diff(pts, axis=0), axis=1).sum())
+
+
+def is_straight(points: Sequence[Tuple[float, float, float]],
+                slack: float = 0.02) -> bool:
+    """The reference's dot-product straightness test
+    (gen_routes_for_scen_1_3_4.py:84-99): vectors from the midpoint to the
+    two endpoints are antiparallel (dot in [-1-slack, -1+slack]) on a
+    straight segment."""
+    if len(points) < 3:
+        return True
+    cur = np.array(points[len(points) // 2][:2])
+    prev = np.array(points[0][:2])
+    nxt = np.array(points[-1][:2])
+    v_nxt = cur - nxt
+    v_prev = cur - prev
+    norm = np.linalg.norm(v_nxt) * np.linalg.norm(v_prev)
+    if norm < 1e-9:
+        return True
+    dot = float(np.dot(v_nxt, v_prev)) / norm
+    return -1.0 - slack < dot < -1.0 + slack
+
+
+def topology_walks(graph: TownGraph, max_len: float = 380.0,
+                   min_len: float = 20.0
+                   ) -> List[List[Tuple[float, float, float]]]:
+    """Non-junction road walks, reference-style: seed every non-junction
+    edge, extend backward through predecessors and forward through
+    successors until a junction/dead end, dedupe by endpoints, chunk to
+    `max_len` (gen_routes_for_scen_1_3_4.py:40-130, MAX_LEN=380)."""
+    walks: List[List[Tuple[float, float, float]]] = []
+    seen_endpoints: List[Tuple[float, float, float, float]] = []
+    for start_idx, edge in enumerate(graph.edges):
+        if edge.is_junction:
+            continue
+        chain = [start_idx]
+        # backward
+        cur = start_idx
+        guard = 0
+        while guard < 200:
+            guard += 1
+            preds = [p for p in graph.edges[cur].predecessors
+                     if not graph.edges[p].is_junction]
+            if not preds or preds[0] in chain:
+                break
+            chain.insert(0, preds[0])
+            cur = preds[0]
+        # forward
+        cur = start_idx
+        guard = 0
+        while guard < 200:
+            guard += 1
+            succs = [s for s in graph.edges[cur].successors
+                     if not graph.edges[s].is_junction]
+            if not succs or succs[0] in chain:
+                break
+            chain.append(succs[0])
+            cur = succs[0]
+        pts: List[Tuple[float, float, float]] = []
+        for ei in chain:
+            pts.extend(graph.edges[ei].points)
+        if _length(pts) < min_len:
+            continue
+        # duplicate pruning by (start, end) proximity (ref :66-82)
+        key = (pts[0][0], pts[0][1], pts[-1][0], pts[-1][1])
+        if any(all(abs(a - b) <= 2.0 for a, b in zip(key, k))
+               for k in seen_endpoints):
+            continue
+        seen_endpoints.append(key)
+        # chunk to max_len
+        acc: List[Tuple[float, float, float]] = []
+        acc_len = 0.0
+        for i, p in enumerate(pts):
+            if acc:
+                acc_len += math.hypot(p[0] - acc[-1][0], p[1] - acc[-1][1])
+            acc.append(p)
+            if acc_len >= max_len:
+                walks.append(acc)
+                acc, acc_len = [p], 0.0
+        if _length(acc) >= min_len:
+            walks.append(acc)
+    return walks
+
+
+def _turn_of(edge: TopologyEdge) -> str:
+    """Classify a junction connector by signed yaw delta."""
+    d = (edge.points[-1][2] - edge.points[0][2] + 540.0) % 360.0 - 180.0
+    if d > 30.0:
+        return "left"
+    if d < -30.0:
+        return "right"
+    return "straight"
+
+
+def junction_routes(graph: TownGraph, turn: Optional[str] = None,
+                    signalized: Optional[bool] = None
+                    ) -> List[List[Tuple[float, float, float]]]:
+    """Approach + connector + exit walks through junctions
+    (gen_routes_for_scen_7_8_9.py / _10.py). Filter by turn direction
+    ('straight'|'left'|'right') and/or signalization."""
+    out = []
+    for ci, conn in enumerate(graph.edges):
+        if not conn.is_junction:
+            continue
+        if turn is not None and _turn_of(conn) != turn:
+            continue
+        if signalized is not None and conn.signalized != signalized:
+            continue
+        for pi in conn.predecessors:
+            for si in conn.successors:
+                pts = (graph.edges[pi].points + conn.points
+                       + graph.edges[si].points)
+                out.append(pts)
+    return out
+
+
 def routes_to_xml(routes: List[List[Tuple[float, float, float]]], town: str,
                   path: str) -> None:
     root = ET.Element("routes")
@@ -90,8 +250,10 @@ def routes_to_xml(routes: List[List[Tuple[float, float, float]]], town: str,
 
 def scenarios_to_json(triggers: List[Tuple[float, float, float]],
                       scenario_type: str, town: str, path: str) -> None:
+    # event schema per gen_scenario_*.py: transform + other_actors
     events = [{"transform": {"x": x, "y": y, "z": 0.0, "yaw": yaw,
-                             "pitch": 0.0}}
+                             "pitch": 0.0},
+               "other_actors": {}}
               for x, y, yaw in triggers]
     data = {"available_scenarios": [{town: [{
         "available_event_configurations": events,
@@ -102,23 +264,77 @@ def scenarios_to_json(triggers: List[Tuple[float, float, float]],
 
 def generate_routes(graph: TownGraph, out_xml: str,
                     kind: str = "curved") -> int:
-    """Emit a route XML for the requested segment kind; returns count."""
+    """Emit a route XML for the requested kind; returns route count.
+
+    kinds (reference generator mapping):
+      curved / straight  — topology walks split by the dot-product test
+                           (gen_routes_for_scen_1_3_4.py)
+      junction           — approach+connector+exit walks (scen 7-10 gens)
+      junction_left / junction_right / junction_straight — by turn
+      all                — every walk + every junction crossing
+    """
+    walks = topology_walks(graph)
     if kind == "curved":
-        segs = curved_route_segments(graph)
+        routes = [w for w in walks if not is_straight(w)]
+    elif kind == "straight":
+        routes = [w for w in walks if is_straight(w)]
     elif kind == "junction":
-        segs = [e for e in graph.edges if e.is_junction]
+        routes = junction_routes(graph)
+    elif kind.startswith("junction_"):
+        routes = junction_routes(graph, turn=kind.split("_", 1)[1])
+    elif kind == "all":
+        routes = walks + junction_routes(graph)
     else:
-        segs = list(graph.edges)
-    routes = [[(p[0], p[1], p[2]) for p in s.points[:: max(1, len(s.points)
-                                                           // 10)]]
-              for s in segs]
-    routes = [r for r in routes if len(r) >= 2]
+        raise ValueError(f"unknown route kind {kind!r}")
+    # thin to ~every 5th waypoint: route XMLs carry sparse keypoints, the
+    # harness re-densifies via interpolate_trajectory
+    routes = [r[:: 5] + [r[-1]] for r in routes if len(r) >= 2]
     routes_to_xml(routes, graph.name, out_xml)
     return len(routes)
 
 
+# scenario_type -> trigger selection over the topology
+# (tools/dataset/gen_scenarios/*: 1=ControlLoss on curved roads,
+#  3=DynamicObjectCrossing on straights, 4=VehicleTurning near junction
+#  entries, 7/8/9=signalized junction straight/left/right, 10=unsignalized)
+def _scenario_triggers(graph: TownGraph, scenario_type: str
+                       ) -> List[Tuple[float, float, float]]:
+    if scenario_type == "Scenario1":
+        return [w[len(w) // 2] for w in topology_walks(graph)
+                if not is_straight(w)]
+    if scenario_type == "Scenario3":
+        return [w[len(w) // 2] for w in topology_walks(graph)
+                if is_straight(w)]
+    if scenario_type == "Scenario4":
+        # 5 m past the start of each junction approach (gen_scenario_4:89)
+        out = []
+        for conn in graph.edges:
+            if conn.is_junction:
+                for pi in conn.predecessors:
+                    pts = graph.edges[pi].points
+                    if len(pts) > 3:
+                        out.append(pts[min(3, len(pts) - 1)])
+        return out
+    turn = {"Scenario7": "straight", "Scenario8": "left",
+            "Scenario9": "right"}.get(scenario_type)
+    if turn is not None:
+        conns = [e for e in graph.edges
+                 if e.is_junction and e.signalized and _turn_of(e) == turn]
+        return [graph.edges[p].points[-1]
+                for e in conns for p in e.predecessors]
+    if scenario_type == "Scenario10":
+        conns = [e for e in graph.edges
+                 if e.is_junction and not e.signalized]
+        return [graph.edges[p].points[-1]
+                for e in conns for p in e.predecessors]
+    raise ValueError(f"unknown scenario type {scenario_type!r}")
+
+
 def generate_scenarios(graph: TownGraph, out_json: str,
                        scenario_type: str = "Scenario7") -> int:
-    triggers = junction_entries(graph)
-    scenarios_to_json(triggers, scenario_type, graph.name, out_json)
+    triggers = _scenario_triggers(graph, scenario_type)
+    # dedupe identical trigger transforms
+    triggers = sorted({(round(x, 1), round(y, 1), round(yaw, 0))
+                       for x, y, yaw in triggers})
+    scenarios_to_json(list(triggers), scenario_type, graph.name, out_json)
     return len(triggers)
