@@ -88,14 +88,26 @@ def program_flops(jitted, *args) -> float:
 
 
 def main() -> None:
+    import dataclasses
+
     from transfuser_tpu.config import GlobalConfig
     from transfuser_tpu.data.synthetic import synthetic_batch
     from transfuser_tpu.train.trainer import Trainer
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    batch_size = int(args[0]) if args else 32
     peak = chip_peak_flops()
     cfg = GlobalConfig()
-    trainer = Trainer(cfg, dtype=jnp.bfloat16)
+    model_cfg = dataclasses.replace(
+        cfg.model,
+        remat="--remat" in flags,
+        group_lowering="dense" if "--dense-groups" in flags else "native")
+    cfg = cfg.replace(model=model_cfg)
+    split_step = "--monolithic" not in flags
+    log(f"batch={batch_size} remat={cfg.model.remat} "
+        f"group_lowering={cfg.model.group_lowering} split={split_step}")
+    trainer = Trainer(cfg, dtype=jnp.bfloat16, split_step=split_step)
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_batch(cfg, batch_size).items()}
 
@@ -105,17 +117,21 @@ def main() -> None:
 
     # --- FLOPs of the exact train-step programs (also pre-warms the
     # persistent compile cache so the trainer's own dispatch is fast).
-    grad_jit = trainer.train_step.grad_jit
-    update_jit = trainer.train_step.update_jit
-    flops_grad = program_flops(
-        grad_jit, state.params, state.batch_stats, state.step, batch)
-    grads, loss, detailed, bstats = jax.eval_shape(
-        grad_jit, state.params, state.batch_stats, state.step, batch)
-    flops_update = program_flops(
-        update_jit,
-        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), grads),
-        state.opt_state, state.params, state.step)
-    flops_step = flops_grad + flops_update
+    if hasattr(trainer.train_step, "grad_jit"):
+        grad_jit = trainer.train_step.grad_jit
+        update_jit = trainer.train_step.update_jit
+        flops_grad = program_flops(
+            grad_jit, state.params, state.batch_stats, state.step, batch)
+        grads, loss, detailed, bstats = jax.eval_shape(
+            grad_jit, state.params, state.batch_stats, state.step, batch)
+        flops_update = program_flops(
+            update_jit,
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), grads),
+            state.opt_state, state.params, state.step)
+        flops_step = flops_grad + flops_update
+    else:
+        flops_step = program_flops(trainer.train_step.jit_programs[0],
+                                   state, batch)
     log(f"train step: {flops_step / 1e12:.3f} TFLOP "
         f"({flops_step / batch_size / 1e9:.1f} GFLOP/sample)")
 
@@ -158,6 +174,23 @@ def main() -> None:
         fetch(x)
     rtt_ms = (time.perf_counter() - t0) * 100.0
     log(f"device->host RTT ~{rtt_ms:.1f} ms (included in timings above)")
+
+    if "--train-only" in flags:
+        print(json.dumps({
+            "metric": "train samples/sec/chip (TransFuser-base)",
+            "value": round(train_sps, 2), "unit": "samples/sec/chip",
+            "vs_baseline": round(train_sps / A100_BASELINE_SAMPLES_PER_SEC,
+                                 3),
+            "mfu": round(mfu, 4),
+            "train_step_tflop": round(flops_step / 1e12, 3),
+            "loss_first": round(losses[0], 4),
+            "loss_last": round(losses[-1], 4),
+            "batch_size": batch_size, "remat": cfg.model.remat,
+            "group_lowering": cfg.model.group_lowering,
+            "split_step": split_step,
+            "device": str(jax.devices()[0]),
+        }))
+        return
 
     # --- Inference latency, batch 1 forward_ego.
     model = trainer.model
@@ -227,6 +260,9 @@ def main() -> None:
         "loss_first": round(losses[0], 4),
         "loss_last": round(losses[-1], 4),
         "batch_size": batch_size,
+        "remat": cfg.model.remat,
+        "group_lowering": cfg.model.group_lowering,
+        "split_step": split_step,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -130,3 +130,25 @@ def test_loader_sharding(tmp_path):
     xb = np.concatenate([batch["x"].ravel() for batch in b])
     assert set(xa) & set(xb) == set()
     assert len(xa) + len(xb) == 40
+
+
+def test_elastic_record_writes_error_file(tmp_path, monkeypatch):
+    """@record crash capture (reference train.py:19-26 torchelastic)."""
+    import json
+    import pytest
+    from transfuser_tpu.train.elastic import record
+
+    err_file = str(tmp_path / "err.json")
+    monkeypatch.setenv("TPU_ELASTIC_ERROR_FILE", err_file)
+
+    @record
+    def boom():
+        raise ValueError("training exploded")
+
+    with pytest.raises(ValueError):
+        boom()
+    payload = json.load(open(err_file))
+    assert "training exploded" in payload["message"]["message"]
+    assert "py_callstack" in payload["message"]["extraInfo"]
+    assert payload["rank"] == 0
+    assert payload["pid"]

@@ -133,6 +133,13 @@ class ModelConfig:
     deconv_channel_num_3: int = 32
     deconv_scale_factor_1: int = 8
     deconv_scale_factor_2: int = 4
+    # TPU performance knobs (no effect on semantics or param trees):
+    # group_lowering 'dense' lowers grouped convs to block-diagonal dense
+    # convs (MXU-friendly, see encoders.DenseGroupedConv); remat
+    # rematerializes encoder/GPT blocks in the backward pass to trade
+    # FLOPs for HBM (enables larger batches).
+    group_lowering: str = "native"
+    remat: bool = False
     gpt: GPTConfig = field(default_factory=GPTConfig)
     centernet: CenterNetConfig = field(default_factory=CenterNetConfig)
     point_pillars: PointPillarConfig = field(default_factory=PointPillarConfig)

@@ -19,30 +19,79 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
 
 
+class DenseGroupedConv(nn.Module):
+    """Grouped conv lowered to ONE dense conv with a block-diagonal kernel.
+
+    TPU-targeted alternative to feature_group_count: the narrow per-group
+    contraction (group width 24 for regnety_032) cannot fill the 128x128
+    MXU; a dense conv over the full channel width does, at groups-times the
+    nominal FLOPs — a wash or a win when the grouped form is latency- or
+    bandwidth-bound. The parameter keeps the grouped (kh, kw, cin/g, cout)
+    shape, so checkpoints are interchangeable with the native lowering.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh = kw = self.kernel
+        ci = x.shape[-1] // self.groups
+        co = self.features // self.groups
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, ci, self.features), jnp.float32)
+        kd = jnp.zeros((kh, kw, ci * self.groups, self.features),
+                       self.dtype)
+        for g in range(self.groups):
+            kd = kd.at[:, :, g * ci:(g + 1) * ci,
+                       g * co:(g + 1) * co].set(
+                k[:, :, :, g * co:(g + 1) * co].astype(self.dtype))
+        pad = (self.kernel - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kd,
+            (self.stride, self.stride), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBN(nn.Module):
-    """Conv + BatchNorm (+ optional ReLU). torch padding semantics."""
+    """Conv + BatchNorm (+ optional ReLU). torch padding semantics.
+
+    group_lowering: 'native' uses feature_group_count; 'dense' lowers
+    grouped convs to a block-diagonal dense conv (see DenseGroupedConv).
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     groups: int = 1
     act: bool = True
+    group_lowering: str = "native"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)),
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if self.groups > 1 and self.group_lowering == "dense":
+            # name matches nn.Conv's auto name so param trees are identical
+            x = DenseGroupedConv(self.features, self.kernel, self.stride,
+                                 self.groups, dtype=self.dtype,
+                                 name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((pad, pad), (pad, pad)),
+                        feature_group_count=self.groups, use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32)(x)
@@ -77,6 +126,7 @@ class RegNetYBlock(nn.Module):
     stride: int
     group_width: int
     se_ratio: float = 0.25
+    group_lowering: str = "native"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -86,6 +136,7 @@ class RegNetYBlock(nn.Module):
         groups = w // self.group_width
         out = ConvBN(w, kernel=1, dtype=self.dtype)(x, train)
         out = ConvBN(w, kernel=3, stride=self.stride, groups=groups,
+                     group_lowering=self.group_lowering,
                      dtype=self.dtype)(out, train)
         rd = int(round(self.in_chs * self.se_ratio))
         out = SEModule(rd, dtype=self.dtype)(out)
@@ -101,15 +152,25 @@ class RegNetStage(nn.Module):
     in_chs: int
     out_chs: int
     group_width: int
+    group_lowering: str = "native"
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # nn.remat keeps the wrapped class name, so param paths (and
+        # therefore checkpoints) are identical with remat on or off.
+        block_cls = nn.remat(RegNetYBlock, static_argnums=(2,)) \
+            if self.remat else RegNetYBlock
         for i in range(self.depth):
-            x = RegNetYBlock(
+            # explicit name: nn.remat prefixes the class name, which would
+            # otherwise leak into auto-generated module names
+            x = block_cls(
                 in_chs=self.in_chs if i == 0 else self.out_chs,
                 out_chs=self.out_chs, stride=2 if i == 0 else 1,
-                group_width=self.group_width, dtype=self.dtype)(x, train)
+                group_width=self.group_width,
+                group_lowering=self.group_lowering,
+                dtype=self.dtype, name=f"RegNetYBlock_{i}")(x, train)
         return x
 
 
@@ -122,6 +183,8 @@ class RegNetY(nn.Module):
     group_width: int = 24
     stem_width: int = 32
     in_channels: int = 3
+    group_lowering: str = "native"
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @property
@@ -133,7 +196,9 @@ class RegNetY(nn.Module):
         ins = (self.stem_width,) + self.widths[:-1]
         self._stages = [
             RegNetStage(depth=d, in_chs=i, out_chs=o,
-                        group_width=self.group_width, dtype=self.dtype)
+                        group_width=self.group_width,
+                        group_lowering=self.group_lowering,
+                        remat=self.remat, dtype=self.dtype)
             for d, i, o in zip(self.depths, ins, self.widths)
         ]
 
@@ -174,6 +239,8 @@ class ResNet(nn.Module):
     depths: Tuple[int, ...] = (3, 4, 6, 3)  # resnet34; resnet18 = (2,2,2,2)
     widths: Tuple[int, ...] = (64, 128, 256, 512)
     in_channels: int = 3
+    group_lowering: str = "native"  # unused (no grouped convs)
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @property
@@ -186,14 +253,16 @@ class ResNet(nn.Module):
                               dtype=self.dtype, param_dtype=jnp.float32)
         self._bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                                  dtype=jnp.float32, param_dtype=jnp.float32)
+        block_cls = nn.remat(BasicBlock, static_argnums=(2,)) \
+            if self.remat else BasicBlock
         blocks = []
         in_chs = 64
         for si, (d, w) in enumerate(zip(self.depths, self.widths)):
             stage = []
             for bi in range(d):
                 stride = 2 if (bi == 0 and si > 0) else 1
-                stage.append(BasicBlock(out_chs=w, stride=stride,
-                                        in_chs=in_chs, dtype=self.dtype))
+                stage.append(block_cls(out_chs=w, stride=stride,
+                                       in_chs=in_chs, dtype=self.dtype))
                 in_chs = w
             blocks.append(stage)
         self._stages = blocks
@@ -244,6 +313,8 @@ class ConvNeXt(nn.Module):
     depths: Tuple[int, ...] = (3, 3, 27, 3)
     dims: Tuple[int, ...] = (128, 256, 512, 1024)
     in_channels: int = 3
+    group_lowering: str = "native"  # depthwise convs stay native
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @property
@@ -255,10 +326,11 @@ class ConvNeXt(nn.Module):
                                   dtype=self.dtype, param_dtype=jnp.float32)
         self._stem_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                                        param_dtype=jnp.float32)
+        block_cls = nn.remat(ConvNeXtBlock) if self.remat else ConvNeXtBlock
         stages = []
         downs = []
         for si, (d, dim) in enumerate(zip(self.depths, self.dims)):
-            stages.append([ConvNeXtBlock(dim=dim, dtype=self.dtype)
+            stages.append([block_cls(dim=dim, dtype=self.dtype)
                            for _ in range(d)])
             if si > 0:
                 downs.append((
@@ -290,31 +362,29 @@ class ConvNeXt(nn.Module):
 
 
 _ENCODERS: dict = {
-    "regnety_032": lambda in_ch, dtype: RegNetY(in_channels=in_ch, dtype=dtype),
-    "resnet34": lambda in_ch, dtype: ResNet(depths=(3, 4, 6, 3),
-                                            in_channels=in_ch, dtype=dtype),
-    "resnet18": lambda in_ch, dtype: ResNet(depths=(2, 2, 2, 2),
-                                            in_channels=in_ch, dtype=dtype),
+    "regnety_032": lambda **kw: RegNetY(**kw),
+    "resnet34": lambda **kw: ResNet(depths=(3, 4, 6, 3), **kw),
+    "resnet18": lambda **kw: ResNet(depths=(2, 2, 2, 2), **kw),
     # Micro trunks for fast CPU tests (not reference architectures).
-    "resnet_micro": lambda in_ch, dtype: ResNet(
-        depths=(1, 1, 1, 1), widths=(16, 32, 64, 128),
-        in_channels=in_ch, dtype=dtype),
-    "regnety_micro": lambda in_ch, dtype: RegNetY(
-        depths=(1, 2, 1, 1), widths=(24, 48, 96, 192), group_width=24,
-        in_channels=in_ch, dtype=dtype),
-    "convnext_base": lambda in_ch, dtype: ConvNeXt(in_channels=in_ch, dtype=dtype),
-    "convnext_tiny": lambda in_ch, dtype: ConvNeXt(
-        depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),
-        in_channels=in_ch, dtype=dtype),
+    "resnet_micro": lambda **kw: ResNet(
+        depths=(1, 1, 1, 1), widths=(16, 32, 64, 128), **kw),
+    "regnety_micro": lambda **kw: RegNetY(
+        depths=(1, 2, 1, 1), widths=(24, 48, 96, 192), group_width=24, **kw),
+    "convnext_base": lambda **kw: ConvNeXt(**kw),
+    "convnext_tiny": lambda **kw: ConvNeXt(
+        depths=(3, 3, 9, 3), dims=(96, 192, 384, 768), **kw),
 }
 
 
 def make_encoder(arch: str, in_channels: int = 3,
-                 dtype: Dtype = jnp.bfloat16) -> nn.Module:
+                 dtype: Dtype = jnp.bfloat16,
+                 group_lowering: str = "native",
+                 remat: bool = False) -> nn.Module:
     if arch not in _ENCODERS:
         raise ValueError(
             f"unknown encoder '{arch}'; available: {sorted(_ENCODERS)}")
-    return _ENCODERS[arch](in_channels, dtype)
+    return _ENCODERS[arch](in_channels=in_channels, dtype=dtype,
+                           group_lowering=group_lowering, remat=remat)
 
 
 def encoder_feature_dims(arch: str) -> Tuple[int, ...]:

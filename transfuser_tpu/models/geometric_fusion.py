@@ -64,10 +64,12 @@ class GeometricFusionBackbone(nn.Module):
     def setup(self) -> None:
         cfg = self.config
         mcfg = cfg.model
-        self.image_encoder = make_encoder(mcfg.image_architecture, 3,
-                                          self.dtype)
+        self.image_encoder = make_encoder(
+            mcfg.image_architecture, 3, self.dtype,
+            group_lowering=mcfg.group_lowering, remat=mcfg.remat)
         self.lidar_encoder = make_encoder(
-            mcfg.lidar_architecture, self.lidar_in_channels, self.dtype)
+            mcfg.lidar_architecture, self.lidar_in_channels, self.dtype,
+            group_lowering=mcfg.group_lowering, remat=mcfg.remat)
         dims = self.image_encoder.feature_dims
         n_embd = mcfg.gpt.n_embd
 

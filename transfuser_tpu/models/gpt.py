@@ -114,6 +114,7 @@ class GPTFusion(nn.Module):
     # Required for reference-checkpoint parity; off for from-scratch training
     # (clean NHWC unpack).
     reference_view_unpack: bool = False
+    remat: bool = False  # rematerialize each block in the backward pass
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -142,10 +143,12 @@ class GPTFusion(nn.Module):
             x = x + vel[:, None, :]
         x = nn.Dropout(self.embd_pdrop, deterministic=not train)(x)
 
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat \
+            else Block
         for i in range(self.n_layer):
-            x = Block(self.n_embd, self.n_head, self.block_exp,
-                      self.attn_pdrop, self.resid_pdrop, self.init_std,
-                      dtype=self.dtype, name=f"block_{i}")(x, train)
+            x = block_cls(self.n_embd, self.n_head, self.block_exp,
+                          self.attn_pdrop, self.resid_pdrop, self.init_std,
+                          dtype=self.dtype, name=f"block_{i}")(x, train)
 
         x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
                          name="ln_f")(x).astype(self.dtype)

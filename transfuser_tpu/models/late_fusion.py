@@ -26,10 +26,12 @@ class LateFusionBackbone(nn.Module):
     def setup(self) -> None:
         cfg = self.config
         mcfg = cfg.model
-        self.image_encoder = make_encoder(mcfg.image_architecture, 3,
-                                          self.dtype)
+        self.image_encoder = make_encoder(
+            mcfg.image_architecture, 3, self.dtype,
+            group_lowering=mcfg.group_lowering, remat=mcfg.remat)
         self.lidar_encoder = make_encoder(
-            mcfg.lidar_architecture, self.lidar_in_channels, self.dtype)
+            mcfg.lidar_architecture, self.lidar_in_channels, self.dtype,
+            group_lowering=mcfg.group_lowering, remat=mcfg.remat)
         feats = mcfg.perception_output_features
         self._img_is_convnext = mcfg.image_architecture.startswith("convnext")
         self._lid_is_convnext = mcfg.lidar_architecture.startswith("convnext")

@@ -33,9 +33,12 @@ class TransfuserBackbone(nn.Module):
         cfg = self.config
         mcfg = cfg.model
         g = mcfg.gpt
-        self.image_encoder = make_encoder(mcfg.image_architecture, 3, self.dtype)
+        self.image_encoder = make_encoder(
+            mcfg.image_architecture, 3, self.dtype,
+            group_lowering=mcfg.group_lowering, remat=mcfg.remat)
         self.lidar_encoder = make_encoder(
-            mcfg.lidar_architecture, self.lidar_in_channels, self.dtype)
+            mcfg.lidar_architecture, self.lidar_in_channels, self.dtype,
+            group_lowering=mcfg.group_lowering, remat=mcfg.remat)
         dims = self.image_encoder.feature_dims
         self.transformers = [
             GPTFusion(
@@ -47,7 +50,8 @@ class TransfuserBackbone(nn.Module):
                 resid_pdrop=g.resid_pdrop, init_std=g.linear_init_std,
                 use_velocity=mcfg.use_velocity,
                 reference_view_unpack=g.reference_view_unpack,
-                dtype=self.dtype, name=f"transformer{i + 1}")
+                remat=mcfg.remat, dtype=self.dtype,
+                name=f"transformer{i + 1}")
             for i in range(4)
         ]
         feats = mcfg.perception_output_features

@@ -94,6 +94,10 @@ def config_from_args(args: argparse.Namespace):
     return cfg.replace(model=model, loss=loss, train=train)
 
 
+from .elastic import record
+
+
+@record
 def main(argv: Optional[list] = None) -> None:
     import jax
 

@@ -61,10 +61,11 @@ def make_train_step(model: LidarCenterNet, config: GlobalConfig,
     """Build the training step.
 
     split=True compiles TWO device programs — (forward+backward) and
-    (optimizer update) — chained without host sync. Empirically the
-    monolithic fused program compiles to far slower code on TPU v5e
-    (576 ms/step vs ~30 ms for the split pipeline at batch 64; see
-    PERF_NOTES.md), and each sub-program also compiles minutes faster.
+    (optimizer update) — chained without host sync; each sub-program
+    compiles faster than the monolith and the boundary gives the runtime
+    a natural point to release grad buffers. (Round-1's '17x faster than
+    monolithic' claim was a dispatch-timing artifact — PERF_NOTES; the
+    honest comparison is re-measured by `bench.py --monolithic`.)
     """
     seed = int(config.train.seed)
 
@@ -152,7 +153,7 @@ class Trainer:
     def __init__(self, config: GlobalConfig,
                  mesh: Optional[jax.sharding.Mesh] = None,
                  steps_per_epoch: Optional[int] = None,
-                 dtype: Any = None):
+                 dtype: Any = None, split_step: bool = True):
         self.config = config
         self.mesh = mesh
         if dtype is None:
@@ -160,7 +161,8 @@ class Trainer:
                 if config.train.compute_dtype == "bfloat16" else jnp.float32
         self.model = LidarCenterNet(config, dtype=dtype)
         self.tx = make_optimizer(config, steps_per_epoch)
-        self.train_step = make_train_step(self.model, config, self.tx)
+        self.train_step = make_train_step(self.model, config, self.tx,
+                                          split=split_step)
         self.eval_step = make_eval_step(self.model, config)
         self.state: Optional[TrainState] = None
         self.epoch = 0
@@ -220,10 +222,12 @@ class Trainer:
     # ----------------------------------------------------------------- loops
     def train_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
                     fetch_metrics: bool = True) -> Dict[str, float]:
-        """fetch_metrics=False skips per-step device->host metric reads
-        (the axon tunnel runtime corrupts subsequent dispatches after a
-        mid-stream fetch of a computed scalar — PERF_NOTES.md); metrics of
-        the final step are fetched once at epoch end."""
+        """fetch_metrics=True reads every step's metrics device->host.
+        On the axon tunnel a fetch of a computed value is the ONLY real
+        sync point (PERF_NOTES 'axon sync semantics') — it works, it just
+        serializes the pipeline; fetch_metrics=False keeps the dispatch
+        queue deep and fetches only the final step's metrics at epoch
+        end (round-1's 'mid-stream fetch corrupts the stream' was wrong)."""
         agg: Dict[str, float] = {}
         n = 0
         metrics: Dict[str, jnp.ndarray] = {}
