@@ -98,3 +98,35 @@ def test_oneshot_trigger_semantics():
         "scenario_type": "ScenarioX",
         "trigger_position": Transform(Location(0.0, 0.0), Rotation()),
         "other_parameters": {}}]) == []
+
+
+def test_other_parameters_tune_behaviors():
+    """Per-event `other_parameters` from the scenario JSON reach the
+    behaviors (srunner config.other_parameters convention, including
+    {"value": x} wrappers)."""
+    from transfuser_tpu.harness.scenarios import (DynamicObjectCrossing,
+                                                  FollowLeadingVehicle,
+                                                  build_behaviors)
+    from transfuser_tpu.sim.types import Location, Rotation, Transform
+
+    trigger = Transform(Location(0.0, 0.0), Rotation(yaw=0.0))
+    configs = [
+        {"scenario_type": "Scenario2", "trigger_position": trigger,
+         "other_parameters": {"first_vehicle_location": {"value": 40.0},
+                              "first_vehicle_speed": 5.5}},
+        {"scenario_type": "Scenario3", "trigger_position": trigger,
+         "other_parameters": {"distance": 20.0}},
+        {"scenario_type": "Scenario3", "trigger_position": trigger},
+    ]
+    behaviors = build_behaviors(configs)
+    assert isinstance(behaviors[0], FollowLeadingVehicle)
+    assert behaviors[0]._param("first_vehicle_location", 25.0) == 40.0
+    assert behaviors[0]._param("first_vehicle_speed", 3.0) == 5.5
+    lead = behaviors[0].setup(None)[0]
+    assert abs(lead.transform.location.x - 40.0) < 1e-6
+
+    assert isinstance(behaviors[1], DynamicObjectCrossing)
+    walker = behaviors[1].setup(None)[0]
+    assert abs(walker.transform.location.x - 20.0) < 1e-6
+    walker_default = behaviors[2].setup(None)[0]
+    assert abs(walker_default.transform.location.x - 12.0) < 1e-6

@@ -31,13 +31,27 @@ class ScenarioBehavior:
 
     TRIGGER_DISTANCE = 15.0  # ScenarioTriggerer proximity
 
-    def __init__(self, trigger: Transform, actor_id: int, seed: int = 0):
+    def __init__(self, trigger: Transform, actor_id: int, seed: int = 0,
+                 params: Optional[dict] = None):
         self.trigger = trigger
         self.actor_id = actor_id
         self.triggered = False
         self.done = False
         self.elapsed = 0.0
+        self.params = params or {}
         self._rng = np.random.default_rng(seed + actor_id)
+
+    def _param(self, name: str, default: float) -> float:
+        """Per-event tunable from the scenario JSON's `other_parameters`
+        (srunner convention: values may be wrapped as {"value": x},
+        basic_scenario.py config.other_parameters)."""
+        v = self.params.get(name, default)
+        if isinstance(v, dict):
+            v = v.get("value", default)
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return default
 
     # ------------------------------------------------------------ lifecycle
     def setup(self, sim: ReplaySimulation) -> List[Actor]:
@@ -87,10 +101,11 @@ class ControlLoss(ScenarioBehavior):
     NOISE = 0.12
 
     def behave(self, sim: ReplaySimulation, dt: float) -> None:
-        if self.elapsed > self.DURATION:
+        if self.elapsed > self._param("duration", self.DURATION):
             self.done = True
             return
-        noise = float(self._rng.normal(0.0, self.NOISE))
+        noise = float(self._rng.normal(
+            0.0, self._param("noise_std", self.NOISE)))
         sim.perturb_steer(noise)
 
 
@@ -98,7 +113,9 @@ class FollowLeadingVehicle(ScenarioBehavior):
     """Scenario2: lead vehicle ahead; drives then stops, ego must react."""
 
     def setup(self, sim: ReplaySimulation) -> List[Actor]:
-        tf = self._offset_transform(25.0, 0.0)
+        # srunner follow_leading_vehicle.py: _first_vehicle_location=25
+        tf = self._offset_transform(
+            self._param("first_vehicle_location", 25.0), 0.0)
         self._lead = Actor(actor_id=self.actor_id, type_id="vehicle.lead",
                            transform=tf, speed=0.0)
         return [self._lead]
@@ -109,7 +126,7 @@ class FollowLeadingVehicle(ScenarioBehavior):
             self.done = True
             return
         if self.elapsed < 6.0:
-            lead.speed = 3.0
+            lead.speed = self._param("first_vehicle_speed", 3.0)
         else:
             lead.speed = 0.0  # stop; ego must brake behind
         yaw = math.radians(lead.transform.rotation.yaw)
@@ -127,7 +144,9 @@ class DynamicObjectCrossing(ScenarioBehavior):
     """Scenario3: walker steps onto the road in front of the ego."""
 
     def setup(self, sim: ReplaySimulation) -> List[Actor]:
-        tf = self._offset_transform(12.0, -5.0, yaw_add=90.0)
+        # srunner object_crossing.py: _start_distance; walker speed 1.8
+        tf = self._offset_transform(self._param("distance", 12.0), -5.0,
+                                    yaw_add=90.0)
         yaw = math.radians(tf.rotation.yaw)
         walker = Actor(actor_id=self.actor_id, type_id="walker.pedestrian",
                        transform=tf, extent=Location(0.4, 0.4, 1.0),
@@ -138,7 +157,7 @@ class DynamicObjectCrossing(ScenarioBehavior):
     def on_trigger(self, sim: ReplaySimulation) -> None:
         w = self._actor(sim)
         if w is not None:
-            w.speed = 1.8
+            w.speed = self._param("walker_speed", 1.8)
 
     def behave(self, sim: ReplaySimulation, dt: float) -> None:
         if self.elapsed > 8.0:
@@ -155,7 +174,8 @@ class _CrossingVehicle(ScenarioBehavior):
     SPEED = 6.0
 
     def setup(self, sim: ReplaySimulation) -> List[Actor]:
-        tf = self._offset_transform(10.0, -self.APPROACH, yaw_add=90.0)
+        tf = self._offset_transform(
+            10.0, -self._param("approach", self.APPROACH), yaw_add=90.0)
         self._veh = Actor(actor_id=self.actor_id,
                           type_id="vehicle.crossing", transform=tf,
                           speed=0.0)
@@ -164,7 +184,7 @@ class _CrossingVehicle(ScenarioBehavior):
     def on_trigger(self, sim: ReplaySimulation) -> None:
         v = self._actor(sim)
         if v is not None:
-            v.speed = self.SPEED
+            v.speed = self._param("speed", self.SPEED)
             v.control.throttle = 0.7
 
     def behave(self, sim: ReplaySimulation, dt: float) -> None:
@@ -205,7 +225,9 @@ class ManeuverOppositeDirection(ScenarioBehavior):
     """Scenario6: oncoming vehicle briefly invades the ego lane."""
 
     def setup(self, sim: ReplaySimulation) -> List[Actor]:
-        tf = self._offset_transform(45.0, 0.0, yaw_add=180.0)
+        # srunner maneuver_opposite_direction.py: _first_vehicle_location=50
+        tf = self._offset_transform(
+            self._param("start_distance", 45.0), 0.0, yaw_add=180.0)
         self._veh = Actor(actor_id=self.actor_id, type_id="vehicle.oncoming",
                           transform=tf, speed=0.0)
         return [self._veh]
@@ -213,7 +235,7 @@ class ManeuverOppositeDirection(ScenarioBehavior):
     def on_trigger(self, sim: ReplaySimulation) -> None:
         v = self._actor(sim)
         if v is not None:
-            v.speed = 7.0
+            v.speed = self._param("speed", 7.0)
 
     def behave(self, sim: ReplaySimulation, dt: float) -> None:
         v = self._actor(sim)
@@ -257,6 +279,7 @@ def build_behaviors(scenario_configs: List[dict],
         cls = BEHAVIOR_CLASSES.get(sc["scenario_type"])
         if cls is None:
             continue
-        behaviors.append(cls(sc["trigger_position"], next_id, seed))
+        behaviors.append(cls(sc["trigger_position"], next_id, seed,
+                             params=sc.get("other_parameters")))
         next_id += 1
     return behaviors
