@@ -164,3 +164,26 @@ def test_render_town_overlay_hermetic(tmp_path):
     assert (np.all(img == (255, 255, 0), axis=-1)).any()
     # road pixels rendered (gray 90)
     assert (img[..., 0] == 90).any()
+
+
+def test_package_submission_stages_context(tmp_path):
+    """Submission packaging (make_docker.sh equivalent) stages the package,
+    checkpoints, Dockerfile with the reference env contract."""
+    from transfuser_tpu.tools.package_submission import stage
+    import pathlib
+    repo_root = str(pathlib.Path(__file__).resolve().parents[1])
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "model_0040.msgpack").write_bytes(b"\x00\x01")
+    out = str(tmp_path / "sub")
+    stage(repo_root, str(ckpt), out)
+    assert os.path.exists(os.path.join(out, "transfuser_tpu", "harness",
+                                       "cli.py"))
+    assert os.path.exists(os.path.join(out, "model_ckpt",
+                                       "model_0040.msgpack"))
+    dockerfile = open(os.path.join(out, "Dockerfile")).read()
+    for env in ("TEAM_AGENT", "TEAM_CONFIG", "ROUTES", "SCENARIOS",
+                "CHECKPOINT_ENDPOINT", "RESUME",
+                "CHALLENGE_TRACK_CODENAME"):
+        assert f"ENV {env}" in dockerfile
+    assert os.access(os.path.join(out, "run_docker.sh"), os.X_OK)
