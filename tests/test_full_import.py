@@ -402,3 +402,28 @@ def _leaves(tree, p=()):
             yield from _leaves(v, p + (k,))
         else:
             yield "/".join(p + (k,)), v
+
+
+def test_hybrid_agent_loads_reference_pth(tmp_path):
+    """HybridAgent ensembles reference model_*.pth checkpoints directly
+    (submission_agent.py:84-99 loads every *.pth in TEAM_CONFIG)."""
+    import os
+
+    from transfuser_tpu.agents.hybrid_agent import HybridAgent
+    from transfuser_tpu.train.checkpoint import save_config_snapshot
+
+    cfg = _parity_config()
+    save_config_snapshot(str(tmp_path), cfg)
+    torch.manual_seed(5)
+    tm = TorchLidarCenterNet().eval()
+    torch.save({f"module.{k}": v for k, v in tm.state_dict().items()},
+               os.path.join(str(tmp_path), "model_30.pth"))
+
+    agent = HybridAgent(str(tmp_path))
+    assert agent.model_count == 1
+    assert agent.config.model.gpt.reference_view_unpack
+    # imported weights actually landed: a known torch tensor matches
+    got = np.asarray(
+        agent._stacked["params"]["wp_gru"]["output"]["kernel"])[0]
+    want = tm.output.weight.detach().numpy().T
+    np.testing.assert_allclose(got, want, rtol=1e-6)

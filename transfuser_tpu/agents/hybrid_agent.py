@@ -63,6 +63,15 @@ class HybridAgent(AutonomousAgent):
             self.config = GlobalConfig()
             weight_files = []
 
+        if any(p.endswith(".pth") for p in weight_files):
+            # reference torch checkpoints carry the GPT token-unpack view
+            # quirk (models/gpt.py); the model must replicate it
+            import dataclasses
+            gpt = dataclasses.replace(self.config.model.gpt,
+                                      reference_view_unpack=True)
+            self.config = self.config.replace(model=dataclasses.replace(
+                self.config.model, gpt=gpt))
+
         cfg = self.config
         self.backbone = cfg.model.backbone
         ctrl = cfg.controller
@@ -99,8 +108,13 @@ class HybridAgent(AutonomousAgent):
         template = jax.device_get(template)
 
         if weight_files:
-            members = [load_inference_weights(p, template)
-                       for p in weight_files]
+            members = []
+            for p in weight_files:
+                if p.endswith(".pth"):
+                    from ..train.torch_import import load_reference_checkpoint
+                    members.append(load_reference_checkpoint(p, cfg))
+                else:
+                    members.append(load_inference_weights(p, template))
         else:
             members = [template]
         self.model_count = len(members)

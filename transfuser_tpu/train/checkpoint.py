@@ -117,10 +117,11 @@ def load_inference_weights(path: str, template: Dict[str, Any]
 
 
 def list_ensemble_weights(model_dir: str) -> List[str]:
-    """Every model_*.msgpack in the directory is an ensemble member
+    """Every model_*.msgpack (native) or model_*.pth (reference torch
+    checkpoint, converted on load) in the directory is an ensemble member
     (reference loads every *.pth, submission_agent.py:84-99)."""
     out = []
     for f in sorted(os.listdir(model_dir)):
-        if f.startswith("model_") and f.endswith(".msgpack"):
+        if f.startswith("model_") and f.endswith((".msgpack", ".pth")):
             out.append(os.path.join(model_dir, f))
     return out
