@@ -152,3 +152,73 @@ def test_elastic_record_writes_error_file(tmp_path, monkeypatch):
     assert "py_callstack" in payload["message"]["extraInfo"]
     assert payload["rank"] == 0
     assert payload["pid"]
+
+
+def test_train_cli_elastic_restart(tmp_path, monkeypatch):
+    """A failing epoch writes the error file, restores the last
+    checkpoint, and retries (in-job elastic recovery)."""
+    import numpy as np
+    from transfuser_tpu.train import cli as train_cli
+
+    calls = {"epochs": [], "restores": 0, "saves": []}
+
+    class StubState:
+        pass
+
+    class StubTrainer:
+        def __init__(self, *a, **kw):
+            self.state = StubState()
+
+        def init_state(self, example, seed=0):
+            return self.state
+
+        def train_epoch(self, it):
+            epoch_idx = len(calls["epochs"])
+            calls["epochs"].append(epoch_idx)
+            if epoch_idx == 1:  # second attempt overall fails once
+                raise RuntimeError("simulated HBM OOM")
+            return {"loss_total": 1.0}
+
+        def validate(self, it):
+            return {}
+
+    class StubSet(list):
+        pass
+
+    class StubLoader:
+        def __init__(self, dataset, *a, **kw):
+            self.dataset = dataset
+
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            return iter([{"x": np.zeros(1)}])
+
+    monkeypatch.setattr(train_cli, "build_argparser",
+                        train_cli.build_argparser)
+    import transfuser_tpu.train.cli as mod
+    monkeypatch.setattr("transfuser_tpu.train.trainer.Trainer", StubTrainer)
+    monkeypatch.setattr("transfuser_tpu.data.dataset.CarlaDataset",
+                        lambda dirs, cfg, **kw: StubSet([1, 2, 3]))
+    monkeypatch.setattr("transfuser_tpu.data.loader.PrefetchLoader",
+                        StubLoader)
+    monkeypatch.setattr(
+        "transfuser_tpu.train.checkpoint.save_checkpoint",
+        lambda logdir, state, epoch, **kw: calls["saves"].append(epoch))
+
+    def fake_restore(logdir, epoch, state, **kw):
+        calls["restores"] += 1
+        return state
+    monkeypatch.setattr("transfuser_tpu.train.checkpoint.restore_checkpoint",
+                        fake_restore)
+    monkeypatch.setenv("TPU_ELASTIC_ERROR_FILE",
+                       str(tmp_path / "err.json"))
+
+    mod.main(["--root_dir", str(tmp_path), "--logdir", str(tmp_path),
+              "--id", "t", "--epochs", "2", "--max_restarts", "2",
+              "--num_workers", "0"])
+    # epoch0 ok, epoch1(first try)=fail, restore, epoch1 retry ok
+    assert calls["saves"] == [1, 2]
+    assert calls["restores"] == 1
+    assert (tmp_path / "err.json").exists()

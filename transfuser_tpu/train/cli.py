@@ -56,6 +56,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Tensor-parallel axis size for the fusion GPT.")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_restarts", type=int, default=3,
+                   help="In-job elastic retries: failed epochs reload the "
+                        "last checkpoint and continue.")
     return p
 
 
@@ -153,29 +156,56 @@ def main(argv: Optional[list] = None) -> None:
                                            trainer.state)
         print(f"resumed from epoch {args.load_epoch}")
 
-    for epoch in range(args.start_epoch, args.epochs):
-        train_loader.set_epoch(epoch)
-        t0 = time.time()
-        metrics = trainer.train_epoch(iter(train_loader))
-        dt = time.time() - t0
-        sps = len(train_set) / max(dt, 1e-9)
-        print(f"epoch {epoch}: loss={metrics.get('loss_total', 0):.4f} "
-              f"({sps:.1f} samples/s)")
-        if writer:
-            for k, v in metrics.items():
-                writer.add_scalar(k, v, epoch + 1)
-            writer.add_scalar("samples_per_sec", sps, epoch + 1)
-
-        if args.setting != "all" and epoch % args.val_every == 0 \
-                and len(val_set) > 0:
-            val_metrics = trainer.validate(iter(val_loader))
-            print(f"epoch {epoch}: val_loss="
-                  f"{val_metrics.get('val_loss_total', 0):.4f}")
+    # In-job elastic recovery (torchelastic restart semantics): a failed
+    # epoch writes the structured error file, reloads the last good
+    # checkpoint, and retries — up to --max_restarts times.
+    epoch = args.start_epoch
+    restarts = 0
+    last_saved = args.load_epoch
+    while epoch < args.epochs:
+        try:
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            metrics = trainer.train_epoch(iter(train_loader))
+            dt = time.time() - t0
+            sps = len(train_set) / max(dt, 1e-9)
+            print(f"epoch {epoch}: loss={metrics.get('loss_total', 0):.4f} "
+                  f"({sps:.1f} samples/s)")
             if writer:
-                for k, v in val_metrics.items():
+                for k, v in metrics.items():
                     writer.add_scalar(k, v, epoch + 1)
+                writer.add_scalar("samples_per_sec", sps, epoch + 1)
 
-        save_checkpoint(logdir, trainer.state, epoch + 1)
+            if args.setting != "all" and epoch % args.val_every == 0 \
+                    and len(val_set) > 0:
+                val_metrics = trainer.validate(iter(val_loader))
+                print(f"epoch {epoch}: val_loss="
+                      f"{val_metrics.get('val_loss_total', 0):.4f}")
+                if writer:
+                    for k, v in val_metrics.items():
+                        writer.add_scalar(k, v, epoch + 1)
+
+            save_checkpoint(logdir, trainer.state, epoch + 1)
+            last_saved = epoch + 1
+            epoch += 1
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception as exc:
+            from .elastic import write_error_file
+            err_path = write_error_file(exc)
+            restarts += 1
+            if restarts > args.max_restarts:
+                print(f"[elastic] epoch {epoch} failed; restart budget "
+                      f"exhausted ({args.max_restarts}); error file at "
+                      f"{err_path}")
+                raise
+            print(f"[elastic] epoch {epoch} failed "
+                  f"({type(exc).__name__}: {exc}); restart "
+                  f"{restarts}/{args.max_restarts}, error file {err_path}")
+            if last_saved is not None:
+                trainer.state = restore_checkpoint(logdir, last_saved,
+                                                   trainer.state)
+                print(f"[elastic] restored checkpoint epoch {last_saved}")
 
 
 if __name__ == "__main__":
