@@ -132,3 +132,25 @@ def test_pinhole_projection_centering():
     px = cam._project(c)
     assert abs(px[0, 0] - 80.0) < 1e-6
     assert abs(px[0, 1] - 40.0) < 1e-6
+
+
+def test_weather_affects_rendered_sensors():
+    """shuffle_weather changes the recorded frames: night darker than
+    noon, rain adds lidar dropoff (data_agent.py:222-242 applied, not
+    just recorded)."""
+    car = Actor(1, "vehicle.car", Transform(Location(12.0, 0.0)))
+    sim = _sim([car], town_map=grid_town(blocks=1, block_size=60.0))
+    spec = {"id": "rgb_front", "width": 80, "height": 40, "fov": 60}
+
+    noon = sim.render_camera(spec, "rgb")
+    sim.set_weather({"weather": "Clear", "daytime": "Night"})
+    night = sim.render_camera(spec, "rgb")
+    assert night.mean() < 0.55 * noon.mean()
+
+    sim.set_weather({"weather": "HardRain", "daytime": "Noon"})
+    n_clear = None
+    sim2 = _sim([car])
+    n_clear = sim2.sensor_frame()["lidar"].shape[0]
+    sim2.set_weather({"weather": "HardRain", "daytime": "Noon"})
+    n_rain = sim2.sensor_frame()["lidar"].shape[0]
+    assert n_rain < n_clear

@@ -97,6 +97,13 @@ class ReplaySimulation:
         # every save_freq-th frame, data_agent.py:166-183)
         self.camera_refresh = 10
         self._camera_cache: Dict[str, Tuple[int, Any]] = {}
+        # weather state applied by the sensor synthesis (DataAgent's
+        # shuffle_weather, data_agent.py:222-242)
+        self.weather = {"weather": "Clear", "daytime": "Noon"}
+
+    def set_weather(self, setting: Dict[str, str]) -> None:
+        self.weather = dict(setting)
+        self._camera_cache.clear()  # re-render under the new conditions
         # Optional sim.traffic.TrafficManager: stepped inside tick() so
         # background vehicles + light phases advance with the world.
         self.traffic = None
@@ -190,12 +197,14 @@ class ReplaySimulation:
             idx = min(self.frame, len(self.recorded) - 1)
             return self.recorded[idx]
         h, w = self._camera_shape
-        from .sensors import synth_lidar
+        from .sensors import rain_dropoff, synth_lidar
         lidar = synth_lidar(self, ground_points=self._lidar_points,
                             rng=self._rng)
-        if self._lidar_dropoff > 0.0:
+        dropoff = self._lidar_dropoff + rain_dropoff(self.weather)
+        if dropoff > 0.0:
             # eval-profile general dropoff (agent_wrapper_local.py:133-138)
-            keep = self._rng.random(lidar.shape[0]) >= self._lidar_dropoff
+            # plus atmospheric attenuation under rain presets
+            keep = self._rng.random(lidar.shape[0]) >= dropoff
             lidar = lidar[keep]
         frame = {
             "rgb": self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
@@ -259,7 +268,7 @@ class ReplaySimulation:
         elif kind == "depth":
             data = encode_depth_rgb(depth)
         else:
-            data = semantic_to_rgb(sem, self._rng)
+            data = semantic_to_rgb(sem, self._rng, weather=self.weather)
         self._camera_cache[key] = (self.frame, data)
         return data
 

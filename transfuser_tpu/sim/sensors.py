@@ -52,13 +52,39 @@ def encode_depth_rgb(depth_m: np.ndarray) -> np.ndarray:
     return out
 
 
-def semantic_to_rgb(sem: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Palette-render a semantic id image into a plausible rgb frame."""
-    rgb = np.zeros(sem.shape + (3,), np.uint8)
+# daytime -> brightness, weather -> extra pixel noise (rain droplets) and
+# road darkening (wet surfaces); applied by the rgb synthesis so the
+# datagen weather shuffle actually changes the recorded frames
+_DAYTIME_BRIGHTNESS = {"Night": 0.25, "Twilight": 0.5, "Dawn": 0.6,
+                       "Morning": 0.9, "Noon": 1.0, "Sunset": 0.7}
+_WEATHER_NOISE = {"Clear": 12, "Cloudy": 14, "Wet": 18, "MidRain": 24,
+                  "WetCloudy": 20, "HardRain": 36, "SoftRain": 20}
+_RAIN_LIDAR_DROPOFF = {"MidRain": 0.05, "HardRain": 0.12, "SoftRain": 0.02}
+
+
+def rain_dropoff(weather: Optional[Dict[str, str]]) -> float:
+    """Extra lidar dropoff under rain presets (atmospheric attenuation)."""
+    if not weather:
+        return 0.0
+    return _RAIN_LIDAR_DROPOFF.get(weather.get("weather", "Clear"), 0.0)
+
+
+def semantic_to_rgb(sem: np.ndarray, rng: np.random.Generator,
+                    weather: Optional[Dict[str, str]] = None) -> np.ndarray:
+    """Palette-render a semantic id image into a plausible rgb frame,
+    modulated by the sim's weather/daytime setting."""
+    rgb = np.zeros(sem.shape + (3,), np.float32)
     for cid, color in _PALETTE.items():
         rgb[sem == cid] = color
-    noise = rng.integers(-12, 13, rgb.shape, dtype=np.int16)
-    return np.clip(rgb.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    w = (weather or {}).get("weather", "Clear")
+    d = (weather or {}).get("daytime", "Noon")
+    if w in ("Wet", "WetCloudy", "MidRain", "HardRain", "SoftRain"):
+        rgb[sem == ROAD] *= 0.6  # wet asphalt reads darker
+    rgb *= _DAYTIME_BRIGHTNESS.get(d, 1.0)
+    noise_amp = _WEATHER_NOISE.get(w, 12)
+    noise = rng.integers(-noise_amp, noise_amp + 1, rgb.shape,
+                         dtype=np.int16)
+    return np.clip(rgb + noise, 0, 255).astype(np.uint8)
 
 
 class PinholeCamera:
