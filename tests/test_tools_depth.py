@@ -187,3 +187,16 @@ def test_package_submission_stages_context(tmp_path):
                 "CHALLENGE_TRACK_CODENAME"):
         assert f"ENV {env}" in dockerfile
     assert os.access(os.path.join(out, "run_docker.sh"), os.X_OK)
+
+
+def test_routes_map_with_town_background(tmp_path, graph):
+    """vis_points/set_new_scenarios debug view over the road network."""
+    from transfuser_tpu.tools.visualize import render_routes_map
+    routes_xml = str(tmp_path / "r.xml")
+    generate_routes(graph, routes_xml, kind="straight")
+    scen_json = str(tmp_path / "s.json")
+    generate_scenarios(graph, scen_json, "Scenario7")
+    out = render_routes_map(routes_xml, scen_json,
+                            str(tmp_path / "map.png"),
+                            town_map=grid_town(blocks=2))
+    assert os.path.getsize(out) > 1000

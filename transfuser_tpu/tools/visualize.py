@@ -101,8 +101,10 @@ def render_model_io(save_path: str, step: int, rgb: np.ndarray,
 
 
 def render_routes_map(routes_xml: str, scenarios_json: Optional[str],
-                      out_path: str) -> str:
-    """Plot route polylines + scenario trigger points (vis_points.py)."""
+                      out_path: str, town_map=None) -> str:
+    """Plot route polylines + scenario trigger points (vis_points.py /
+    set_new_scenarios.py debug view). With a `town_map`
+    (sim/town_map.TownMap), the road network is drawn underneath."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -111,6 +113,12 @@ def render_routes_map(routes_xml: str, scenarios_json: Optional[str],
                                         parse_routes_file)
 
     fig, ax = plt.subplots(figsize=(10, 10))
+    if town_map is not None:
+        for lane in town_map.lanes.values():
+            cl = lane.centerline
+            ax.plot(cl[:, 0], cl[:, 1], color="0.8",
+                    linewidth=lane.width, solid_capstyle="round",
+                    zorder=0)
     for cfg in parse_routes_file(routes_xml):
         xs = [t.location.x for t in cfg.trajectory]
         ys = [t.location.y for t in cfg.trajectory]
