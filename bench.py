@@ -96,13 +96,17 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    batch_size = int(args[0]) if args else 32
+    # Defaults = best measured config on one v5e: batch 16, dense grouped
+    # convs (PERF_NOTES round-2: 110 samples/s vs 79 native; batch 32
+    # needs remat and is slower end-to-end).
+    batch_size = int(args[0]) if args else 16
     peak = chip_peak_flops()
     cfg = GlobalConfig()
+    remat = "all" if "--remat" in flags else \
+        ("early" if "--remat-early" in flags else False)
     model_cfg = dataclasses.replace(
-        cfg.model,
-        remat="--remat" in flags,
-        group_lowering="dense" if "--dense-groups" in flags else "native")
+        cfg.model, remat=remat,
+        group_lowering="native" if "--native-groups" in flags else "dense")
     cfg = cfg.replace(model=model_cfg)
     split_step = "--monolithic" not in flags
     log(f"batch={batch_size} remat={cfg.model.remat} "
@@ -132,6 +136,28 @@ def main() -> None:
     else:
         flops_step = program_flops(trainer.train_step.jit_programs[0],
                                    state, batch)
+
+    # Dense grouped-conv lowering executes redundant (block-diagonal-zero)
+    # FLOPs; 'useful' MFU normalizes by the native-lowering program's
+    # FLOPs so the number is comparable across lowerings. Param trees are
+    # identical, so the same state/batch lower the native program.
+    flops_useful = flops_step
+    if cfg.model.group_lowering == "dense":
+        native_trainer = Trainer(
+            cfg.replace(model=dataclasses.replace(cfg.model,
+                                                  group_lowering="native")),
+            dtype=jnp.bfloat16, split_step=split_step)
+        if hasattr(native_trainer.train_step, "grad_jit"):
+            # same split mode as the measured trainer: flops_grad is set
+            native_grad = program_flops(
+                native_trainer.train_step.grad_jit, state.params,
+                state.batch_stats, state.step, batch)
+            flops_useful = native_grad + (flops_step - flops_grad)
+        else:
+            flops_useful = program_flops(
+                native_trainer.train_step.jit_programs[0], state, batch)
+        log(f"useful (native-lowering) FLOPs: {flops_useful / 1e12:.3f} "
+            f"TFLOP/step")
     log(f"train step: {flops_step / 1e12:.3f} TFLOP "
         f"({flops_step / batch_size / 1e9:.1f} GFLOP/sample)")
 
@@ -144,17 +170,23 @@ def main() -> None:
     if not np.isfinite(warm_loss):
         raise RuntimeError(f"non-finite training loss {warm_loss}")
 
-    # --- Timed: every step ends with a fetch of its computed loss, so the
-    # region cannot complete before the chip has executed every step.
+    # --- Timed: steps chain through the params/opt state, so ONE fetch of
+    # the LAST step's loss cannot complete before the chip has executed
+    # every step in the chain — truthful without serializing the pipeline
+    # on a per-step device->host round trip. All per-step losses are
+    # fetched after the clock stops and must be finite.
     n_steps = 30
-    losses = []
+    kept = []
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = trainer.train_step(state, batch)
-        losses.append(fetch(metrics["loss_total"]))
+        kept.append(metrics["loss_total"])
+    fetch(kept[-1])
     dt = time.perf_counter() - t0
+    losses = [fetch(l) for l in kept]
     train_sps = batch_size * n_steps / dt
     mfu = flops_step * n_steps / dt / peak
+    mfu_useful = flops_useful * n_steps / dt / peak
     log(f"{n_steps} steps in {dt:.2f}s -> {train_sps:.1f} samples/s, "
         f"MFU {100 * mfu:.1f}%, loss {losses[0]:.4f} -> {losses[-1]:.4f}")
     if not all(np.isfinite(l) for l in losses):
@@ -182,6 +214,7 @@ def main() -> None:
             "vs_baseline": round(train_sps / A100_BASELINE_SAMPLES_PER_SEC,
                                  3),
             "mfu": round(mfu, 4),
+            "mfu_useful": round(mfu_useful, 4),
             "train_step_tflop": round(flops_step / 1e12, 3),
             "loss_first": round(losses[0], 4),
             "loss_last": round(losses[-1], 4),
@@ -254,6 +287,7 @@ def main() -> None:
         "baseline_note": "assumed 35 samples/s A100 (none published); "
                          "mfu is the measured, hardware-normalized number",
         "mfu": round(mfu, 4),
+        "mfu_useful": round(mfu_useful, 4),
         "train_step_tflop": round(flops_step / 1e12, 3),
         "p50_inference_ms": round(p50_chip, 3),
         "p50_inference_e2e_host_ms": round(p50_e2e, 2),

@@ -110,7 +110,8 @@ def test_route_gen(tmp_path):
         (100 * np.cos(t), 100 * np.sin(t), float(np.degrees(t) + 90))
         for t in theta])
     junction = TopologyEdge(points=[(0.0, 0.0, 0.0), (5.0, 0.0, 0.0)],
-                            is_junction=True)
+                            is_junction=True, predecessors=[0])
+    curved.successors = [1]
     g = TownGraph("Town01", [curved, junction])
     xml_path = str(tmp_path / "routes.xml")
     n = generate_routes(g, xml_path, kind="curved")
@@ -119,7 +120,8 @@ def test_route_gen(tmp_path):
     cfgs = parse_routes_file(xml_path)
     assert cfgs[0].town == "Town01"
     js_path = str(tmp_path / "scen.json")
-    m = generate_scenarios(g, js_path)
+    # Scenario10: unsignalized-junction approach endpoints
+    m = generate_scenarios(g, js_path, "Scenario10")
     assert m == 1
     from transfuser_tpu.harness.route_parser import \
         load_scenario_annotations

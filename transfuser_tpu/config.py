@@ -137,9 +137,10 @@ class ModelConfig:
     # group_lowering 'dense' lowers grouped convs to block-diagonal dense
     # convs (MXU-friendly, see encoders.DenseGroupedConv); remat
     # rematerializes encoder/GPT blocks in the backward pass to trade
-    # FLOPs for HBM (enables larger batches).
+    # FLOPs for HBM (enables larger batches). remat: False/'none',
+    # 'early' (high-resolution encoder stages only), True/'all'.
     group_lowering: str = "native"
-    remat: bool = False
+    remat: object = False
     gpt: GPTConfig = field(default_factory=GPTConfig)
     centernet: CenterNetConfig = field(default_factory=CenterNetConfig)
     point_pillars: PointPillarConfig = field(default_factory=PointPillarConfig)

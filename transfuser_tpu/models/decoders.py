@@ -100,4 +100,4 @@ class DepthDecoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = _DeconvStack(1, self.c1, self.c2, self.c3, self.scale_1,
                          self.scale_2, dtype=self.dtype, name="stack")(x)
-        return nn.sigmoid(x[..., 0].astype(jnp.float32))
+        return nn.sigmoid(x[..., 0])  # loss upcasts; keeps bandwidth low

@@ -184,7 +184,7 @@ class RegNetY(nn.Module):
     stem_width: int = 32
     in_channels: int = 3
     group_lowering: str = "native"
-    remat: bool = False
+    remat: str = "none"  # none | early (stages 0-1) | all
     dtype: Dtype = jnp.bfloat16
 
     @property
@@ -198,8 +198,10 @@ class RegNetY(nn.Module):
             RegNetStage(depth=d, in_chs=i, out_chs=o,
                         group_width=self.group_width,
                         group_lowering=self.group_lowering,
-                        remat=self.remat, dtype=self.dtype)
-            for d, i, o in zip(self.depths, ins, self.widths)
+                        remat=_stage_remat(self.remat, si),
+                        dtype=self.dtype)
+            for si, (d, i, o) in enumerate(zip(self.depths, ins,
+                                               self.widths))
         ]
 
     def stem(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -240,7 +242,7 @@ class ResNet(nn.Module):
     widths: Tuple[int, ...] = (64, 128, 256, 512)
     in_channels: int = 3
     group_lowering: str = "native"  # unused (no grouped convs)
-    remat: bool = False
+    remat: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @property
@@ -253,11 +255,11 @@ class ResNet(nn.Module):
                               dtype=self.dtype, param_dtype=jnp.float32)
         self._bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                                  dtype=jnp.float32, param_dtype=jnp.float32)
-        block_cls = nn.remat(BasicBlock, static_argnums=(2,)) \
-            if self.remat else BasicBlock
         blocks = []
         in_chs = 64
         for si, (d, w) in enumerate(zip(self.depths, self.widths)):
+            block_cls = nn.remat(BasicBlock, static_argnums=(2,)) \
+                if _stage_remat(self.remat, si) else BasicBlock
             stage = []
             for bi in range(d):
                 stride = 2 if (bi == 0 and si > 0) else 1
@@ -314,7 +316,7 @@ class ConvNeXt(nn.Module):
     dims: Tuple[int, ...] = (128, 256, 512, 1024)
     in_channels: int = 3
     group_lowering: str = "native"  # depthwise convs stay native
-    remat: bool = False
+    remat: str = "none"
     dtype: Dtype = jnp.bfloat16
 
     @property
@@ -326,10 +328,11 @@ class ConvNeXt(nn.Module):
                                   dtype=self.dtype, param_dtype=jnp.float32)
         self._stem_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                                        param_dtype=jnp.float32)
-        block_cls = nn.remat(ConvNeXtBlock) if self.remat else ConvNeXtBlock
         stages = []
         downs = []
         for si, (d, dim) in enumerate(zip(self.depths, self.dims)):
+            block_cls = nn.remat(ConvNeXtBlock) \
+                if _stage_remat(self.remat, si) else ConvNeXtBlock
             stages.append([block_cls(dim=dim, dtype=self.dtype)
                            for _ in range(d)])
             if si > 0:
@@ -376,10 +379,21 @@ _ENCODERS: dict = {
 }
 
 
+def _stage_remat(mode, stage_index: int) -> bool:
+    """Stage-wise remat policy: 'early' recomputes only the two
+    high-resolution stages (largest activations, cheapest channels) —
+    most HBM saved per recomputed FLOP."""
+    if mode in (True, "all"):
+        return True
+    if mode == "early":
+        return stage_index < 2
+    return False
+
+
 def make_encoder(arch: str, in_channels: int = 3,
                  dtype: Dtype = jnp.bfloat16,
                  group_lowering: str = "native",
-                 remat: bool = False) -> nn.Module:
+                 remat="none") -> nn.Module:
     if arch not in _ENCODERS:
         raise ValueError(
             f"unknown encoder '{arch}'; available: {sorted(_ENCODERS)}")

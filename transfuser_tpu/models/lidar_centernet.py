@@ -144,17 +144,19 @@ class LidarCenterNet(nn.Module):
 
         # Aux heads are training/debug-only (the reference's forward_ego
         # skips pred_bev + seg/depth except under debug, model.py:720-724).
+        # Aux maps stay in the compute dtype (HBM bandwidth: the 160x704
+        # seg/depth maps are the largest tensors in the step); the losses
+        # upcast to fp32 where numerics need it.
         if compute_aux:
             x = nn.relu(self.pred_bev_conv0(pyramid[0]))
-            pred_bev = self.pred_bev_conv1(x).astype(jnp.float32)
+            pred_bev = self.pred_bev_conv1(x)
             out["pred_bev"] = resize_bilinear(
                 pred_bev,
                 (cfg.bev.bev_resolution_height,
                  cfg.bev.bev_resolution_width),
                 align_corners=True)  # model.py:760 uses align_corners=True
             if cfg.model.multitask:
-                out["pred_semantic"] = self.seg_decoder(
-                    image_grid).astype(jnp.float32)
+                out["pred_semantic"] = self.seg_decoder(image_grid)
                 out["pred_depth"] = self.depth_decoder(image_grid)
         return out
 

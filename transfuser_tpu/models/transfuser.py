@@ -50,7 +50,7 @@ class TransfuserBackbone(nn.Module):
                 resid_pdrop=g.resid_pdrop, init_std=g.linear_init_std,
                 use_velocity=mcfg.use_velocity,
                 reference_view_unpack=g.reference_view_unpack,
-                remat=mcfg.remat, dtype=self.dtype,
+                remat=mcfg.remat in (True, "all"), dtype=self.dtype,
                 name=f"transformer{i + 1}")
             for i in range(4)
         ]

@@ -272,7 +272,7 @@ def weighted_smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
 def weighted_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                      weight: jnp.ndarray, avg_factor: jnp.ndarray) -> jnp.ndarray:
     """logits (..., C), integer labels (...), elementwise weight (...)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return (nll * weight).sum() / avg_factor
 
@@ -281,7 +281,7 @@ def cross_entropy_mean(logits: jnp.ndarray, labels: jnp.ndarray,
                        class_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """torch F.cross_entropy(reduction='mean') incl. its weighted-mean rule:
     mean = sum(w_y * nll) / sum(w_y)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     if class_weights is None:
         return nll.mean()

@@ -100,13 +100,13 @@ class ReplaySimulation:
         # weather state applied by the sensor synthesis (DataAgent's
         # shuffle_weather, data_agent.py:222-242)
         self.weather = {"weather": "Clear", "daytime": "Noon"}
+        # Optional sim.traffic.TrafficManager: stepped inside tick() so
+        # background vehicles + light phases advance with the world.
+        self.traffic = None
 
     def set_weather(self, setting: Dict[str, str]) -> None:
         self.weather = dict(setting)
         self._camera_cache.clear()  # re-render under the new conditions
-        # Optional sim.traffic.TrafficManager: stepped inside tick() so
-        # background vehicles + light phases advance with the world.
-        self.traffic = None
 
     def is_junction(self, location: Location) -> bool:
         """Map query stand-in (the live adapter asks the OpenDRIVE map)."""

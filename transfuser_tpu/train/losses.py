@@ -74,7 +74,8 @@ def compute_losses(outputs: Dict[str, jnp.ndarray],
         losses["loss_semantic"] = cfg.loss.ls_seg * cn.cross_entropy_mean(
             outputs["pred_semantic"], batch["semantic"].astype(jnp.int32))
         losses["loss_depth"] = cfg.loss.ls_depth * jnp.mean(
-            jnp.abs(outputs["pred_depth"] - batch["depth"]))
+            jnp.abs(outputs["pred_depth"].astype(jnp.float32)
+                    - batch["depth"]))
     else:
         zero = jnp.zeros_like(losses["loss_wp"])
         losses["loss_semantic"] = zero
