@@ -59,6 +59,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_restarts", type=int, default=3,
                    help="In-job elastic retries: failed epochs reload the "
                         "last checkpoint and continue.")
+    p.add_argument("--group_lowering", type=str, default="dense",
+                   choices=["native", "dense"],
+                   help="Grouped-conv lowering; 'dense' is ~1.4x faster "
+                        "on TPU (PERF_NOTES), 'native' for CPU debugging.")
+    p.add_argument("--remat", type=str, default="none",
+                   choices=["none", "early", "all"],
+                   help="Backward-pass rematerialization (memory knob).")
     return p
 
 
@@ -76,6 +83,8 @@ def config_from_args(args: argparse.Namespace):
         point_pillars=dataclasses.replace(
             cfg.model.point_pillars,
             use_point_pillars=bool(args.use_point_pillars)),
+        group_lowering=args.group_lowering,
+        remat=args.remat if args.remat != "none" else False,
         gpt=gpt)
     weights = list(cfg.loss.detailed_losses_weights)
     if args.wp_only:
