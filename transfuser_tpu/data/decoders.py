@@ -75,11 +75,21 @@ def crop_and_encode_bev(bev_road_lane: np.ndarray, degree: float,
 
 def crop_image(image: np.ndarray, crop_hw: Tuple[int, int],
                crop_shift: float = 0.0) -> np.ndarray:
-    """Center crop with x shift; HWC in, HWC out (data.py:545-560)."""
+    """Center crop with x shift; HWC in, HWC out (data.py:545-560).
+
+    The stored datagen strip (160x960) always has >=128 px of margin for
+    the reference's +-107 px max shift; for sources with less margin the
+    shift is clamped so the crop never runs off the edge (the reference
+    would silently return a short slice there).
+    """
     h, w = image.shape[:2]
     ch, cw = crop_hw
+    if h < ch or w < cw:
+        raise ValueError(
+            f"source {image.shape[:2]} smaller than crop {crop_hw}")
     start_y = h // 2 - ch // 2
     start_x = w // 2 - cw // 2 + int(crop_shift)
+    start_x = min(max(start_x, 0), w - cw)
     return image[start_y:start_y + ch, start_x:start_x + cw]
 
 
