@@ -200,3 +200,46 @@ def test_routes_map_with_town_background(tmp_path, graph):
                             str(tmp_path / "map.png"),
                             town_map=grid_town(blocks=2))
     assert os.path.getsize(out) > 1000
+
+
+def test_lane_change_generator(tmp_path):
+    from transfuser_tpu.tools.route_gen import lane_change_routes
+    town2 = grid_town(blocks=2, block_size=80.0, lanes_per_dir=2)
+    g2 = TownGraph.from_town_map(town2)
+    # adjacency survives the bridge + JSON round trip
+    assert any(e.left is not None for e in g2.edges)
+    p = str(tmp_path / "graph.json")
+    g2.to_json(p)
+    g3 = TownGraph.from_json(p)
+    lefts = [(i, e.left) for i, e in enumerate(g2.edges)
+             if e.left is not None]
+    assert [(i, e.left) for i, e in enumerate(g3.edges)
+            if e.left is not None] == lefts
+    # neighbor symmetry in edge space
+    for i, li in lefts:
+        assert g2.edges[li].right == i
+
+    cats = lane_change_routes(g2)
+    assert all(cats[k] for k in ("lr", "ll", "rr", "rl"))
+    for k, routes in cats.items():
+        for r in routes:
+            assert len(r) == 3
+            # mid keypoint is laterally offset from the start lane
+            a, m = np.array(r[0][:2]), np.array(r[1][:2])
+            assert np.linalg.norm(m - a) > 3.0
+
+    # XML emission parses through the harness route parser, and the
+    # route interpolates without teleports
+    xml = str(tmp_path / "lc.xml")
+    n = generate_routes(g2, xml, kind="lane_change_lr")
+    assert n == len(cats["lr"])
+    configs = parse_routes_file(xml)
+    assert len(configs) == n
+    assert all(len(c.trajectory) == 3 for c in configs)
+    # densify the first route through the multi-lane town's router
+    c = configs[0]
+    dense = town2.route(
+        (c.trajectory[0].location.x, c.trajectory[0].location.y),
+        (c.trajectory[1].location.x, c.trajectory[1].location.y))
+    pts = np.array([(t.location.x, t.location.y) for t in dense])
+    assert np.linalg.norm(np.diff(pts, axis=0), axis=1).max() < 2.0

@@ -252,3 +252,65 @@ def test_route_scenario_with_town_map(town):
     assert moved >= 5
     states1 = [a.state for a in sc.sim.actors_of_type("traffic_light")]
     assert states1 != states0  # light phases advanced
+
+
+# ------------------------------------------------------------- multi-lane
+
+@pytest.fixture(scope="module")
+def town2():
+    return grid_town(blocks=2, block_size=80.0, lights_at=[(1, 1)],
+                     lanes_per_dir=2)
+
+
+def test_multilane_adjacency(town2):
+    road_lanes = [l for l in town2.lanes.values() if not l.is_junction]
+    with_left = [l for l in road_lanes if l.left_neighbor is not None]
+    with_right = [l for l in road_lanes if l.right_neighbor is not None]
+    assert len(with_left) == len(road_lanes) // 2
+    assert len(with_right) == len(road_lanes) // 2
+    for lane in with_right:
+        nb = town2.lanes[lane.right_neighbor]
+        assert nb.left_neighbor == lane.lane_id
+        # parallel, one lane-width apart, same heading
+        d = np.linalg.norm(nb.centerline[0] - lane.centerline[0])
+        assert d == pytest.approx(LANE_WIDTH, abs=1e-6)
+        assert lane.position(1.0)[1] == pytest.approx(nb.position(1.0)[1])
+
+
+def test_multilane_topology_and_signals(town2):
+    # every lane has a successor (no dead ends even with turn discipline)
+    assert all(l.successors for l in town2.lanes.values())
+    # lights control both incoming lanes of each approach
+    for tl in town2.traffic_lights:
+        incoming = [lid for lid in tl.controlled_lanes
+                    if not town2.lanes[lid].is_junction]
+        assert len(incoming) == 2
+
+
+def test_route_with_lane_change(town2):
+    # start on the OUTER east-bound lane of the road y<0, goal on the
+    # INNER lane far ahead on the same road: BFS must use the neighbor
+    # edge, and the densified route must be continuous.
+    half = LANE_WIDTH / 2.0
+    start = (15.0, -(half + LANE_WIDTH))   # outer lane (k=1)
+    goal = (70.0, -half)                   # inner lane (k=0)
+    route = town2.route(start, goal)
+    pts = np.array([(t.location.x, t.location.y) for t in route])
+    gaps = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    assert gaps.max() < 2.0              # no teleports
+    assert abs(pts[-1, 1] - (-half)) < 0.3   # ends on the inner lane
+    assert abs(pts[0, 1] - (-(half + LANE_WIDTH))) < 0.3
+    # monotone forward progress in x
+    assert (np.diff(pts[:, 0]) > -0.2).all()
+
+
+def test_route_without_lane_change_flag(town2):
+    half = LANE_WIDTH / 2.0
+    start = (15.0, -(half + LANE_WIDTH))
+    goal = (70.0, -half)
+    # without neighbor edges the router must go around (longer) or fail;
+    # with them the route is direct
+    direct = town2.route(start, goal, allow_lane_change=True)
+    pts = np.array([(t.location.x, t.location.y) for t in direct])
+    direct_len = float(np.linalg.norm(np.diff(pts, axis=0), axis=1).sum())
+    assert direct_len < 80.0

@@ -94,8 +94,9 @@ class EvaluatorArgs:
     fps: int = 20
     max_game_seconds: float = 300.0
     background_vehicles: int = 0
-    # "grid", "grid:<blocks>", or "grid:<blocks>x<block_size>": procedural
-    # road network (sim/town_map.py) enabling moving traffic + map-true
+    # "grid", "grid:<blocks>", "grid:<blocks>x<block_size>", or
+    # "grid:<blocks>x<block_size>x<lanes_per_dir>": procedural road
+    # network (sim/town_map.py) enabling moving traffic + map-true
     # criteria; None keeps the map-less legacy backend.
     town_map: Optional[str] = None
     datagen: bool = False
@@ -109,21 +110,23 @@ def build_town_map(spec: Optional[str]):
         return None
     from ..sim.town_map import grid_town
     if spec.startswith("grid"):
-        blocks, block_size = 2, 80.0
+        blocks, block_size, lanes_per_dir = 2, 80.0, 1
         rest = spec[4:].lstrip(":")
         if rest:
-            if "x" in rest:
-                b, sz = rest.split("x", 1)
-                blocks, block_size = int(b), float(sz)
-            else:
-                blocks = int(rest)
+            parts = rest.split("x")
+            blocks = int(parts[0])
+            if len(parts) > 1:
+                block_size = float(parts[1])
+            if len(parts) > 2:
+                lanes_per_dir = int(parts[2])
         # lights at interior intersections, stop signs at edge midpoints
         interior = [(i, j) for i in range(1, blocks)
                     for j in range(1, blocks)]
         edge = [(i, 0) for i in range(1, blocks)] + \
                [(0, j) for j in range(1, blocks)]
         return grid_town(blocks=blocks, block_size=block_size,
-                         lights_at=interior or [(0, 0)], stops_at=edge)
+                         lights_at=interior or [(0, 0)], stops_at=edge,
+                         lanes_per_dir=lanes_per_dir)
     raise ValueError(f"unknown town map spec: {spec!r}")
 
 

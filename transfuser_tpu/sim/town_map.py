@@ -43,6 +43,10 @@ class Lane:
     speed_limit: float = 8.0  # m/s
     successors: List[int] = field(default_factory=list)
     predecessors: List[int] = field(default_factory=list)
+    # Same-direction adjacent lanes (carla Waypoint.get_left_lane /
+    # get_right_lane for Driving lanes with matching heading).
+    left_neighbor: Optional[int] = None
+    right_neighbor: Optional[int] = None
 
     def __post_init__(self) -> None:
         self.centerline = np.asarray(self.centerline, np.float64)
@@ -223,9 +227,15 @@ class TownMap:
 
     def route(self, start_xy: Tuple[float, float],
               goal_xy: Tuple[float, float],
-              step: float = 1.0) -> List[Transform]:
+              step: float = 1.0, allow_lane_change: bool = True,
+              change_length: float = 15.0) -> List[Transform]:
         """Dense drivable route start->goal via BFS over the lane graph
-        (the hermetic `interpolate_trajectory`/GlobalRoutePlanner)."""
+        (the hermetic `interpolate_trajectory`/GlobalRoutePlanner).
+
+        The graph includes same-direction neighbor edges (lane changes),
+        rendered as a cosine-blended diagonal over `change_length`
+        meters, so routes from the lane-change generators
+        (gen_routes_lane_change.py) interpolate smoothly."""
         from collections import deque
         a = self.nearest_lane(*start_xy)
         b = self.nearest_lane(*goal_xy)
@@ -233,40 +243,77 @@ class TownMap:
             raise ValueError("start/goal not on the road network")
         (la, sa, _), (lb, sb, _) = a, b
         if la.lane_id == lb.lane_id and sb >= sa:
-            chain = [la.lane_id]
+            chain: List[Tuple[int, str]] = [(la.lane_id, "start")]
         else:
-            prev: Dict[int, int] = {la.lane_id: -1}
+            prev: Dict[int, Tuple[int, str]] = {la.lane_id: (-1, "start")}
             q = deque([la.lane_id])
             while q:
                 cur = q.popleft()
                 if cur == lb.lane_id:
                     break
-                for nxt in self.lanes[cur].successors:
+                lane = self.lanes[cur]
+                hops = [(nxt, "s") for nxt in lane.successors]
+                if allow_lane_change and not lane.is_junction:
+                    for nb in (lane.left_neighbor, lane.right_neighbor):
+                        if nb is not None \
+                                and not self.lanes[nb].is_junction:
+                            hops.append((nb, "n"))
+                for nxt, kind in hops:
                     if nxt not in prev:
-                        prev[nxt] = cur
+                        prev[nxt] = (cur, kind)
                         q.append(nxt)
             if lb.lane_id not in prev:
                 raise ValueError("no route between start and goal")
             chain = []
             cur = lb.lane_id
             while cur != -1:
-                chain.append(cur)
-                cur = prev[cur]
+                parent, kind = prev[cur]
+                chain.append((cur, kind))
+                cur = parent
             chain.reverse()
+
+        pts: List[np.ndarray] = []
+        cur_lid, _ = chain[0]
+        cur_s = sa
+        for nxt_lid, kind in chain[1:]:
+            lane = self.lanes[cur_lid]
+            if kind == "s":
+                s = cur_s
+                while s < lane.length:
+                    pts.append(lane.position(s)[0])
+                    s += step
+                cur_lid, cur_s = nxt_lid, 0.0
+            else:  # lane change: cosine blend onto the neighbor
+                nxt = self.lanes[nxt_lid]
+                xy0 = lane.position(cur_s)[0]
+                s_n, _ = nxt.project(float(xy0[0]), float(xy0[1]))
+                span = min(change_length, lane.length - cur_s,
+                           nxt.length - s_n)
+                t = 0.0
+                while t < span:
+                    w = 0.5 - 0.5 * math.cos(math.pi * t / max(span, 1e-6))
+                    pa = lane.position(cur_s + t)[0]
+                    pb = nxt.position(s_n + t)[0]
+                    pts.append((1.0 - w) * pa + w * pb)
+                    t += step
+                cur_lid, cur_s = nxt_lid, s_n + span
+        last = self.lanes[cur_lid]
+        s = cur_s
+        while s < sb:
+            pts.append(last.position(s)[0])
+            s += step
+        # a lane change may complete past the goal's arclength; never
+        # emit a backwards point
+        pts.append(last.position(max(sb, cur_s))[0])
+
         out: List[Transform] = []
-        for ci, lid in enumerate(chain):
-            lane = self.lanes[lid]
-            s0 = sa if ci == 0 else 0.0
-            s1 = sb if ci == len(chain) - 1 else lane.length
-            s = s0
-            while s < s1:
-                xy, yaw = lane.position(s)
-                out.append(Transform(Location(float(xy[0]), float(xy[1])),
-                                     Rotation(yaw=yaw)))
-                s += step
-        xy, yaw = self.lanes[chain[-1]].position(sb)
-        out.append(Transform(Location(float(xy[0]), float(xy[1])),
-                             Rotation(yaw=yaw)))
+        for i, xy in enumerate(pts):
+            ref = pts[i + 1] - xy if i + 1 < len(pts) else \
+                xy - pts[i - 1] if i > 0 else np.array([1.0, 0.0])
+            yaw = math.degrees(math.atan2(float(ref[1]), float(ref[0]))) \
+                if float(np.hypot(ref[0], ref[1])) > 1e-9 else 0.0
+            out.append(Transform(Location(float(xy[0]), float(xy[1])),
+                                 Rotation(yaw=yaw)))
         return out
 
     def spawn_points(self, spacing: float = 12.0) -> List[Tuple[int, float]]:
@@ -310,13 +357,18 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
               junction_half: float = 8.0,
               lights_at: Sequence[Tuple[int, int]] = ((1, 1),),
               stops_at: Sequence[Tuple[int, int]] = (),
+              lanes_per_dir: int = 1,
               name: str = "grid_town") -> TownMap:
     """Manhattan-grid town: (blocks+1)^2 intersections, two-way roads,
     junction connector lanes (straight/left/right), traffic lights and stop
     signs at chosen intersections.
 
-    Right-hand traffic: a lane driving heading theta is offset LANE_WIDTH/2
-    to the right of the road axis.
+    Right-hand traffic: lane k (k=0 innermost) driving heading theta is
+    offset LANE_WIDTH/2 + k*LANE_WIDTH to the right of the road axis.
+    With lanes_per_dir > 1, same-direction lanes are wired as
+    left/right neighbors (lane-change adjacency); straight junction
+    connectors exist per lane, left turns leave from the innermost lane,
+    right turns from the outermost (standard turn-lane discipline).
     """
     n = blocks + 1
     half_w = LANE_WIDTH / 2.0
@@ -351,6 +403,16 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
         m = max(int(dist / SAMPLE_STEP), 2)
         return np.linspace(p0, p1, m + 1)
 
+    def link_neighbors(dir_lanes: List[Lane]) -> None:
+        """dir_lanes[k]: innermost (k=0) to outermost; left = toward the
+        road axis."""
+        for k in range(1, len(dir_lanes)):
+            dir_lanes[k].left_neighbor = dir_lanes[k - 1].lane_id
+            dir_lanes[k - 1].right_neighbor = dir_lanes[k].lane_id
+
+    def offsets():
+        return [half_w + k * LANE_WIDTH for k in range(lanes_per_dir)]
+
     # --- road segment lanes (between junction squares)
     road_id = 0
     for i in range(n):
@@ -360,18 +422,22 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
             if i + 1 < n:
                 x0, x1 = cx + junction_half, cx + block_size - junction_half
                 # heading +x: right side is -y
-                add_lane(straight((x0, cy - half_w), (x1, cy - half_w)),
-                         False, road_id)
-                add_lane(straight((x1, cy + half_w), (x0, cy + half_w)),
-                         False, road_id)
+                link_neighbors([
+                    add_lane(straight((x0, cy - off), (x1, cy - off)),
+                             False, road_id) for off in offsets()])
+                link_neighbors([
+                    add_lane(straight((x1, cy + off), (x0, cy + off)),
+                             False, road_id) for off in offsets()])
                 road_id += 1
             if j + 1 < n:
                 y0, y1 = cy + junction_half, cy + block_size - junction_half
                 # heading +y: right side is +x
-                add_lane(straight((cx + half_w, y0), (cx + half_w, y1)),
-                         False, road_id)
-                add_lane(straight((cx - half_w, y1), (cx - half_w, y0)),
-                         False, road_id)
+                link_neighbors([
+                    add_lane(straight((cx + off, y0), (cx + off, y1)),
+                             False, road_id) for off in offsets()])
+                link_neighbors([
+                    add_lane(straight((cx - off, y1), (cx - off, y0)),
+                             False, road_id) for off in offsets()])
                 road_id += 1
 
     # --- junction connectors
@@ -384,60 +450,95 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
         for j in range(n):
             cx, cy = i * block_size, j * block_size
             jid = 10000 + i * 100 + j
+            def connect(src: int, in_pt: np.ndarray, h: int, turn: str,
+                        dh: int, out_off: float, jid: int) -> bool:
+                fwd, _right = _FWD[h], _RIGHT[h]
+                h2 = (h + dh) % 360
+                fwd2, right2 = _FWD[h2], _RIGHT[h2]
+                out_pt = (np.array([cx, cy]) + fwd2 * junction_half
+                          + right2 * out_off)
+                out_key = key(out_pt, h2)
+                if out_key not in lane_start:
+                    return False
+                dst = lane_start[out_key]
+                if turn == "straight":
+                    pts = straight(in_pt, out_pt)
+                else:
+                    ctrl = _line_intersect(in_pt, fwd, out_pt, -fwd2)
+                    m = max(int(np.hypot(*(out_pt - in_pt))
+                                / SAMPLE_STEP) + 2, 4)
+                    pts = _bezier(in_pt, ctrl, out_pt, m)
+                conn = add_lane(pts, True, jid)
+                lanes_by_id[conn.lane_id] = conn
+                lanes_by_id[src].successors.append(conn.lane_id)
+                conn.predecessors.append(src)
+                conn.successors.append(dst)
+                lanes_by_id[dst].predecessors.append(conn.lane_id)
+                return True
+
             for h in headings:
                 fwd, right = _FWD[h], _RIGHT[h]
-                # incoming lane of heading h ends at edge point:
-                in_pt = (np.array([cx, cy]) - fwd * junction_half
-                         + right * half_w)
-                in_key = key(in_pt, h)
-                if in_key not in lane_end:
-                    continue
-                src = lane_end[in_key]
-                for turn, dh in (("straight", 0), ("left", 90),
-                                 ("right", -90)):
-                    h2 = (h + dh) % 360
-                    fwd2, right2 = _FWD[h2], _RIGHT[h2]
-                    out_pt = (np.array([cx, cy]) + fwd2 * junction_half
-                              + right2 * half_w)
-                    out_key = key(out_pt, h2)
-                    if out_key not in lane_start:
+                for k, off in enumerate(offsets()):
+                    # incoming lane k of heading h ends at edge point:
+                    in_pt = (np.array([cx, cy]) - fwd * junction_half
+                             + right * off)
+                    in_key = key(in_pt, h)
+                    if in_key not in lane_end:
                         continue
-                    dst = lane_start[out_key]
-                    if turn == "straight":
-                        pts = straight(in_pt, out_pt)
-                    else:
-                        ctrl = _line_intersect(in_pt, fwd, out_pt, -fwd2)
-                        m = max(int(np.hypot(*(out_pt - in_pt))
-                                    / SAMPLE_STEP) + 2, 4)
-                        pts = _bezier(in_pt, ctrl, out_pt, m)
-                    conn = add_lane(pts, True, jid)
-                    lanes_by_id[conn.lane_id] = conn
-                    lanes_by_id[src].successors.append(conn.lane_id)
-                    conn.predecessors.append(src)
-                    conn.successors.append(dst)
-                    lanes_by_id[dst].predecessors.append(conn.lane_id)
+                    src = lane_end[in_key]
+                    # turn-lane discipline: straight from every lane,
+                    # left only from the innermost, right only from the
+                    # outermost.
+                    turns = [("straight", 0, off)]
+                    if k == 0:
+                        turns.append(("left", 90, offsets()[0]))
+                    if k == lanes_per_dir - 1:
+                        turns.append(("right", -90, offsets()[-1]))
+                    for turn, dh, out_off in turns:
+                        connect(src, in_pt, h, turn, dh, out_off, jid)
+                    # grid-boundary fallback: a lane whose disciplined
+                    # exits don't exist (e.g. inner lane at a corner)
+                    # may take any existing turn rather than dead-end.
+                    if not lanes_by_id[src].successors:
+                        for turn, dh, out_off in (
+                                ("right", -90, offsets()[-1]),
+                                ("left", 90, offsets()[0])):
+                            if connect(src, in_pt, h, turn, dh, out_off,
+                                       jid):
+                                break
 
     # --- signals
     def approach_signal(i: int, j: int, h: int):
         """Incoming approach of heading h at intersection (i,j):
-        (incoming lane, stop-line segment, trigger volume, pole tf)."""
+        (incoming lanes, stop-line segment, trigger volume, pole tf).
+        The stop line and trigger span every same-direction lane."""
         cx, cy = i * block_size, j * block_size
         fwd, right = _FWD[h], _RIGHT[h]
-        in_pt = np.array([cx, cy]) - fwd * junction_half + right * half_w
-        in_key = key(in_pt, h)
-        if in_key not in lane_end:
+        lanes_in = []
+        for off in offsets():
+            in_pt = (np.array([cx, cy]) - fwd * junction_half
+                     + right * off)
+            in_key = key(in_pt, h)
+            if in_key in lane_end:
+                lanes_in.append((lane_end[in_key], in_pt))
+        if not lanes_in:
             return None
-        lane_in = lane_end[in_key]
-        stop_a = in_pt - right * LANE_WIDTH  # spans the incoming lane
-        stop_b = in_pt + right * LANE_WIDTH
-        trig_center = in_pt - fwd * 2.5
+        edge_mid = (np.array([cx, cy]) - fwd * junction_half
+                    + right * (half_w + (lanes_per_dir - 1)
+                               * LANE_WIDTH / 2.0))
+        span = lanes_per_dir * LANE_WIDTH / 2.0 + half_w
+        stop_a = edge_mid - right * span
+        stop_b = edge_mid + right * span
+        trig_center = edge_mid - fwd * 2.5
         trigger = TriggerVolume(center=trig_center,
-                                half_extent=np.array([2.5, half_w + 0.5]),
+                                half_extent=np.array([2.5, span]),
                                 yaw_deg=h)
-        pole = Transform(Location(float(in_pt[0] + right[0] * 2.5),
-                                  float(in_pt[1] + right[1] * 2.5)),
+        outer = lanes_in[-1][1]
+        pole = Transform(Location(float(outer[0] + right[0] * 2.5),
+                                  float(outer[1] + right[1] * 2.5)),
                          Rotation(yaw=h))
-        return lane_in, (stop_a, stop_b), trigger, pole
+        return [lid for lid, _ in lanes_in], (stop_a, stop_b), trigger, \
+            pole
 
     light_id = 0
     for (i, j) in lights_at:
@@ -446,8 +547,10 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
             sig = approach_signal(i, j, h)
             if sig is None:
                 continue
-            lane_in, stop_line, trigger, pole = sig
-            controlled = [lane_in] + lanes_by_id[lane_in].successors
+            lanes_in, stop_line, trigger, pole = sig
+            controlled = []
+            for lane_in in lanes_in:
+                controlled += [lane_in] + lanes_by_id[lane_in].successors
             lights.append(TrafficLightSpec(
                 light_id=light_id, transform=pole, trigger=trigger,
                 stop_line=stop_line, controlled_lanes=controlled,
@@ -460,7 +563,7 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
             sig = approach_signal(i, j, h)
             if sig is None:
                 continue
-            _lane_in, _stop_line, trigger, pole = sig
+            _lanes_in, _stop_line, trigger, pole = sig
             stops.append(StopSignSpec(sign_id=sign_id, transform=pole,
                                       trigger=trigger))
             sign_id += 1

@@ -29,6 +29,9 @@ class TopologyEdge:
     successors: List[int] = field(default_factory=list)
     predecessors: List[int] = field(default_factory=list)
     signalized: bool = False
+    # same-direction adjacent edges (lane-change targets), edge indices
+    left: Optional[int] = None
+    right: Optional[int] = None
 
 
 @dataclass
@@ -46,7 +49,8 @@ class TownGraph:
                                 is_junction=e.get("is_junction", False),
                                 successors=list(e.get("successors", [])),
                                 predecessors=list(e.get("predecessors", [])),
-                                signalized=e.get("signalized", False))
+                                signalized=e.get("signalized", False),
+                                left=e.get("left"), right=e.get("right"))
                    for e in raw["edges"]])
 
     def to_json(self, path: str) -> None:
@@ -56,7 +60,8 @@ class TownGraph:
                                   "is_junction": e.is_junction,
                                   "successors": e.successors,
                                   "predecessors": e.predecessors,
-                                  "signalized": e.signalized}
+                                  "signalized": e.signalized,
+                                  "left": e.left, "right": e.right}
                                  for e in self.edges]}, f)
 
     @staticmethod
@@ -86,7 +91,9 @@ class TownGraph:
                             if i in index_of],
                 predecessors=[index_of[i] for i in lane.predecessors
                               if i in index_of],
-                signalized=lid in signalized_lanes))
+                signalized=lid in signalized_lanes,
+                left=index_of.get(lane.left_neighbor),
+                right=index_of.get(lane.right_neighbor)))
         return TownGraph(name=town_map.name, edges=edges)
 
 
@@ -237,6 +244,40 @@ def junction_routes(graph: TownGraph, turn: Optional[str] = None,
     return out
 
 
+def lane_change_routes(graph: TownGraph, min_length: float = 60.0
+                       ) -> Dict[str, List[List[Tuple[float, float,
+                                                      float]]]]:
+    """Sparse 3-keypoint lane-change routes, categorized like the
+    reference generator (gen_routes_lane_change.py: 'lr'/'ll'/'rr'/'rl'
+    = first/second change direction; 'l'+'r' means change left then come
+    back right): start on a non-junction edge, mid-route keypoint on the
+    adjacent lane, end either back on the original lane or staying on
+    the neighbor. Densification through TownMap.route / the harness's
+    interpolate_trajectory renders the diagonal."""
+    out: Dict[str, List[List[Tuple[float, float, float]]]] = {
+        "lr": [], "ll": [], "rr": [], "rl": []}
+    for edge in graph.edges:
+        if edge.is_junction or len(edge.points) < 3:
+            continue
+        pts = np.array([(p[0], p[1]) for p in edge.points])
+        length = float(np.linalg.norm(np.diff(pts, axis=0), axis=1).sum())
+        if length < min_length:
+            continue
+        start = edge.points[1]
+        end_own = edge.points[-2]
+        for side, nb_idx in (("l", edge.left), ("r", edge.right)):
+            if nb_idx is None:
+                continue
+            nb = graph.edges[nb_idx]
+            if nb.is_junction or len(nb.points) < 3:
+                continue
+            mid = nb.points[len(nb.points) // 2]
+            back = "r" if side == "l" else "l"
+            out[side + back].append([start, mid, end_own])
+            out[side + side].append([start, mid, nb.points[-2]])
+    return out
+
+
 def routes_to_xml(routes: List[List[Tuple[float, float, float]]], town: str,
                   path: str) -> None:
     root = ET.Element("routes")
@@ -271,6 +312,9 @@ def generate_routes(graph: TownGraph, out_xml: str,
                            (gen_routes_for_scen_1_3_4.py)
       junction           — approach+connector+exit walks (scen 7-10 gens)
       junction_left / junction_right / junction_straight — by turn
+      lane_change        — all lane-change routes
+      lane_change_lr / _ll / _rr / _rl — one category
+                           (gen_routes_lane_change.py)
       all                — every walk + every junction crossing
     """
     walks = topology_walks(graph)
@@ -282,13 +326,23 @@ def generate_routes(graph: TownGraph, out_xml: str,
         routes = junction_routes(graph)
     elif kind.startswith("junction_"):
         routes = junction_routes(graph, turn=kind.split("_", 1)[1])
+    elif kind == "lane_change":
+        routes = [r for rs in lane_change_routes(graph).values()
+                  for r in rs]
+    elif kind.startswith("lane_change_"):
+        routes = lane_change_routes(graph)[kind.rsplit("_", 1)[1]]
     elif kind == "all":
         routes = walks + junction_routes(graph)
     else:
         raise ValueError(f"unknown route kind {kind!r}")
-    # thin to ~every 5th waypoint: route XMLs carry sparse keypoints, the
-    # harness re-densifies via interpolate_trajectory
-    routes = [r[:: 5] + [r[-1]] for r in routes if len(r) >= 2]
+    if kind.startswith("lane_change"):
+        # already sparse 3-keypoint routes; thinning would drop the mid
+        # (lane-change) keypoint
+        routes = [r for r in routes if len(r) >= 2]
+    else:
+        # thin to ~every 5th waypoint: route XMLs carry sparse keypoints,
+        # the harness re-densifies via interpolate_trajectory
+        routes = [r[:: 5] + [r[-1]] for r in routes if len(r) >= 2]
     routes_to_xml(routes, graph.name, out_xml)
     return len(routes)
 
