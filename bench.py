@@ -96,17 +96,22 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    # Defaults = best measured config on one v5e: batch 16, dense grouped
-    # convs (PERF_NOTES round-2: 110 samples/s vs 79 native; batch 32
-    # needs remat and is slower end-to-end).
+    # Defaults = best measured config on one v5e: batch 16, 'auto'
+    # grouped-conv lowering (PERF_NOTES round-2: chunked block-diagonal
+    # beats dense by ~17% on both encoders; batch 32 needs remat and is
+    # slower end-to-end).
     batch_size = int(args[0]) if args else 16
     peak = chip_peak_flops()
     cfg = GlobalConfig()
     remat = "all" if "--remat" in flags else \
         ("early" if "--remat-early" in flags else False)
+    lowering = "auto"
+    if "--native-groups" in flags:
+        lowering = "native"
+    elif "--dense-groups" in flags:
+        lowering = "dense"
     model_cfg = dataclasses.replace(
-        cfg.model, remat=remat,
-        group_lowering="native" if "--native-groups" in flags else "dense")
+        cfg.model, remat=remat, group_lowering=lowering)
     cfg = cfg.replace(model=model_cfg)
     split_step = "--monolithic" not in flags
     log(f"batch={batch_size} remat={cfg.model.remat} "
@@ -137,12 +142,13 @@ def main() -> None:
         flops_step = program_flops(trainer.train_step.jit_programs[0],
                                    state, batch)
 
-    # Dense grouped-conv lowering executes redundant (block-diagonal-zero)
-    # FLOPs; 'useful' MFU normalizes by the native-lowering program's
-    # FLOPs so the number is comparable across lowerings. Param trees are
-    # identical, so the same state/batch lower the native program.
+    # Dense/chunked grouped-conv lowerings execute redundant
+    # (block-diagonal-zero) FLOPs; 'useful' MFU normalizes by the
+    # native-lowering program's FLOPs so the number is comparable across
+    # lowerings. Param trees are identical, so the same state/batch
+    # lower the native program.
     flops_useful = flops_step
-    if cfg.model.group_lowering == "dense":
+    if cfg.model.group_lowering != "native":
         native_trainer = Trainer(
             cfg.replace(model=dataclasses.replace(cfg.model,
                                                   group_lowering="native")),

@@ -127,6 +127,20 @@ def main():
         full_model_breakdown(cfg, batch, rng)
         return
 
+    if "--groups" in sys.argv:
+        # Grouped-conv lowering A/B on both encoder branches.
+        for lowering in ("dense", "chunked", "im2col", "auto"):
+            grad_time(f"image regnety {lowering}",
+                      make_encoder("regnety_032", 3,
+                                   group_lowering=lowering),
+                      img.astype(jnp.bfloat16))
+        for lowering in ("dense", "chunked", "im2col", "auto"):
+            grad_time(f"lidar regnety {lowering}",
+                      make_encoder("regnety_032", 3,
+                                   group_lowering=lowering),
+                      lidar.astype(jnp.bfloat16))
+        return
+
     grad_time("image regnety_032 fwd+bwd", make_encoder("regnety_032", 3),
               img.astype(jnp.bfloat16))
     grad_time("image regnety dense-groups",

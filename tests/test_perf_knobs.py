@@ -19,19 +19,25 @@ def _paths(tree, p=()):
     return out
 
 
-def test_dense_group_lowering_matches_native():
+import pytest
+
+
+@pytest.mark.parametrize("lowering", ["dense", "im2col", "chunked", "auto"])
+def test_group_lowering_matches_native(lowering):
+    # regnety_micro group counts are (1, 2, 4, 8): 'auto' exercises both
+    # its dense (g<=6) and im2col (g>6) branches.
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
     nat = make_encoder("regnety_micro", 3, jnp.float32)
-    dense = make_encoder("regnety_micro", 3, jnp.float32,
-                         group_lowering="dense")
+    alt = make_encoder("regnety_micro", 3, jnp.float32,
+                       group_lowering=lowering)
     v = nat.init(jax.random.PRNGKey(0), x, train=False)
-    v2 = jax.eval_shape(lambda k: dense.init(k, x, train=False),
+    v2 = jax.eval_shape(lambda k: alt.init(k, x, train=False),
                         jax.random.PRNGKey(0))
     assert _paths(v["params"]) == _paths(dict(v2["params"]))
     out_nat = nat.apply(v, x, train=False)
-    out_dense = dense.apply(v, x, train=False)
-    np.testing.assert_allclose(np.asarray(out_dense), np.asarray(out_nat),
+    out_alt = alt.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_alt), np.asarray(out_nat),
                                rtol=1e-4, atol=1e-4)
 
 

@@ -134,8 +134,12 @@ class ModelConfig:
     deconv_scale_factor_1: int = 8
     deconv_scale_factor_2: int = 4
     # TPU performance knobs (no effect on semantics or param trees):
-    # group_lowering 'dense' lowers grouped convs to block-diagonal dense
-    # convs (MXU-friendly, see encoders.DenseGroupedConv); remat
+    # group_lowering lowers grouped convs for the MXU — 'dense' = one
+    # block-diagonal dense conv, 'chunked' = block-diagonal convs over
+    # ~128-wide chunks (caps FLOP redundancy at 128//group_width),
+    # 'im2col' = group-batched einsum (measured slower; kept as a
+    # documented negative result), 'auto' = dense for few groups else
+    # chunked (the measured-fastest policy, PERF_NOTES). remat
     # rematerializes encoder/GPT blocks in the backward pass to trade
     # FLOPs for HBM (enables larger batches). remat: False/'none',
     # 'early' (high-resolution encoder stages only), True/'all'.

@@ -63,11 +63,110 @@ class DenseGroupedConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class ChunkedDenseGroupedConv(nn.Module):
+    """Grouped conv as block-diagonal dense convs over ~128-wide chunks.
+
+    DenseGroupedConv executes G-times the nominal FLOPs (24x/63x on
+    regnety_032's wide stages). Splitting the groups into chunks of
+    n = 128 // group_width (5 for width 24) and running one dense
+    block-diagonal conv per 120-channel chunk caps the redundancy at n
+    while each conv still fills the 128-wide MXU tile — the best a
+    systolic array can do for 24-wide groups without a custom kernel.
+    Parameter shape matches nn.Conv's grouped kernel, so checkpoints are
+    interchangeable across all lowerings.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh = kw = self.kernel
+        ci = x.shape[-1] // self.groups
+        co = self.features // self.groups
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, ci, self.features), jnp.float32)
+        pad = (self.kernel - 1) // 2
+        per_chunk = max(1, 128 // max(ci, co))
+        xd = x.astype(self.dtype)
+        outs = []
+        for g0 in range(0, self.groups, per_chunk):
+            g1 = min(g0 + per_chunk, self.groups)
+            n = g1 - g0
+            xs = xd[..., g0 * ci:g1 * ci]
+            kd = jnp.zeros((kh, kw, n * ci, n * co), self.dtype)
+            for j in range(n):
+                kd = kd.at[:, :, j * ci:(j + 1) * ci,
+                           j * co:(j + 1) * co].set(
+                    k[:, :, :, (g0 + j) * co:(g0 + j + 1) * co]
+                    .astype(self.dtype))
+            outs.append(jax.lax.conv_general_dilated(
+                xs, kd, (self.stride, self.stride),
+                ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        return outs[0] if len(outs) == 1 else \
+            jnp.concatenate(outs, axis=-1)
+
+
+class Im2colGroupedConv(nn.Module):
+    """Grouped conv as im2col + group-batched einsum.
+
+    In theory the groups become the batch dimension of a batched matmul
+    [G, B*H*W, ci*kh*kw] x [G, ci*kh*kw, co] and the only MXU waste is
+    padding co (24) up to the 128-wide tile. MEASURED (v5e, batch 16,
+    regnety_032 fwd+bwd): 3.7x SLOWER than the dense lowering — XLA
+    materializes the 9x im2col tensor and lowers the narrow batched
+    matmul poorly. Kept as a documented negative result; use 'dense' or
+    'chunked'. Parameter shape matches nn.Conv's grouped kernel.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh = kw = self.kernel
+        ci = x.shape[-1] // self.groups
+        co = self.features // self.groups
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, ci, self.features), jnp.float32)
+        pad = (self.kernel - 1) // 2
+        # (B, H', W', C*kh*kw); feature order is channel-major
+        # (c, kh, kw), so each group's ci*kh*kw patch block is contiguous.
+        patches = jax.lax.conv_general_dilated_patches(
+            x.astype(self.dtype), (kh, kw), (self.stride, self.stride),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, ho, wo, _ = patches.shape
+        patches = patches.reshape(b, ho, wo, self.groups, ci * kh * kw)
+        # (kh, kw, ci, G*co) -> (G, ci*kh*kw, co) in the same (c, kh, kw)
+        # contraction order as the patches.
+        kg = k.reshape(kh, kw, ci, self.groups, co)
+        kg = kg.transpose(3, 2, 0, 1, 4).reshape(
+            self.groups, ci * kh * kw, co).astype(self.dtype)
+        out = jnp.einsum("bhwgk,gkn->bhwgn", patches, kg)
+        return out.reshape(b, ho, wo, self.features)
+
+
+# 'auto' lowering: dense executes G-times the nominal FLOPs; chunked
+# caps the redundancy at ~128//group_width. Below the cap they are the
+# same program, so switch to chunked only where dense actually loses.
+_AUTO_DENSE_MAX_GROUPS = 6
+
+
 class ConvBN(nn.Module):
     """Conv + BatchNorm (+ optional ReLU). torch padding semantics.
 
     group_lowering: 'native' uses feature_group_count; 'dense' lowers
-    grouped convs to a block-diagonal dense conv (see DenseGroupedConv).
+    grouped convs to a block-diagonal dense conv (see DenseGroupedConv);
+    'im2col' to a group-batched einsum (Im2colGroupedConv); 'auto' picks
+    dense for few groups, im2col for many.
     """
 
     features: int
@@ -81,11 +180,23 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = (self.kernel - 1) // 2
-        if self.groups > 1 and self.group_lowering == "dense":
+        lowering = self.group_lowering
+        if lowering == "auto" and self.groups > 1:
+            lowering = ("dense" if self.groups <= _AUTO_DENSE_MAX_GROUPS
+                        else "chunked")
+        if self.groups > 1 and lowering == "dense":
             # name matches nn.Conv's auto name so param trees are identical
             x = DenseGroupedConv(self.features, self.kernel, self.stride,
                                  self.groups, dtype=self.dtype,
                                  name="Conv_0")(x)
+        elif self.groups > 1 and lowering == "chunked":
+            x = ChunkedDenseGroupedConv(self.features, self.kernel,
+                                        self.stride, self.groups,
+                                        dtype=self.dtype, name="Conv_0")(x)
+        elif self.groups > 1 and lowering == "im2col":
+            x = Im2colGroupedConv(self.features, self.kernel, self.stride,
+                                  self.groups, dtype=self.dtype,
+                                  name="Conv_0")(x)
         else:
             x = nn.Conv(self.features, (self.kernel, self.kernel),
                         strides=(self.stride, self.stride),

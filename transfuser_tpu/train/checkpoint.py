@@ -103,6 +103,64 @@ def restore_checkpoint(logdir: str, epoch: int, target_state: TrainState,
                       batch_stats=data["batch_stats"], opt_state=opt_state)
 
 
+class AsyncCheckpointWriter:
+    """Epoch-loop checkpointing that overlaps the save with training.
+
+    Keeps ONE orbax CheckpointManager open across the run (async
+    checkpointing on: `save` returns after staging the arrays, the
+    serialization thread writes in the background — the orbax equivalent
+    of the reference's per-epoch torch.save, train.py:381-384, without
+    stalling the step pipeline). Under a sharding Mesh the arrays carry
+    their NamedShardings, so the checkpoint is written sharded and
+    restores sharded. Falls back to the synchronous msgpack path when
+    orbax is unavailable.
+    """
+
+    def __init__(self, logdir: str, use_orbax: Optional[bool] = None):
+        self.logdir = logdir
+        self.use_orbax = _use_orbax() if use_orbax is None else use_orbax
+        self._mngr = None
+        if self.use_orbax:
+            import orbax.checkpoint as ocp
+            os.makedirs(logdir, exist_ok=True)
+            self._mngr = ocp.CheckpointManager(
+                os.path.abspath(logdir),
+                options=ocp.CheckpointManagerOptions(
+                    create=True, max_to_keep=None,
+                    enable_async_checkpointing=True))
+
+    def save(self, epoch: int, state: TrainState) -> None:
+        if self._mngr is not None:
+            import orbax.checkpoint as ocp
+            self._mngr.save(epoch, args=ocp.args.StandardSave(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state,
+                 "step": np.asarray(state.step)}))
+        else:
+            save_checkpoint(self.logdir, state, epoch, use_orbax=False)
+
+    def restore(self, epoch: int, target_state: TrainState) -> TrainState:
+        self.wait()
+        return restore_checkpoint(self.logdir, epoch, target_state,
+                                  use_orbax=self.use_orbax)
+
+    def wait(self) -> None:
+        if self._mngr is not None:
+            self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        if self._mngr is not None:
+            self._mngr.close()
+            self._mngr = None
+
+    def __enter__(self) -> "AsyncCheckpointWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def save_inference_weights(path: str, variables: Dict[str, Any]) -> None:
     """Standalone inference weights (one ensemble member): model_*.msgpack."""
     blob = serialization.to_bytes(jax.device_get(variables))

@@ -59,10 +59,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_restarts", type=int, default=3,
                    help="In-job elastic retries: failed epochs reload the "
                         "last checkpoint and continue.")
-    p.add_argument("--group_lowering", type=str, default="dense",
-                   choices=["native", "dense"],
-                   help="Grouped-conv lowering; 'dense' is ~1.4x faster "
-                        "on TPU (PERF_NOTES), 'native' for CPU debugging.")
+    p.add_argument("--group_lowering", type=str, default="auto",
+                   choices=["native", "dense", "chunked", "im2col",
+                            "auto"],
+                   help="Grouped-conv lowering; 'auto' (dense for few "
+                        "groups, 128-wide chunked block-diagonal above) "
+                        "is the measured-fastest on TPU (PERF_NOTES); "
+                        "'native' for CPU debugging.")
     p.add_argument("--remat", type=str, default="none",
                    choices=["none", "early", "all"],
                    help="Backward-pass rematerialization (memory knob).")
@@ -116,8 +119,7 @@ def main(argv: Optional[list] = None) -> None:
     from ..data.dataset import CarlaDataset
     from ..data.loader import PrefetchLoader
     from ..parallel import sharding as shd
-    from .checkpoint import (restore_checkpoint, save_checkpoint,
-                             save_config_snapshot)
+    from .checkpoint import AsyncCheckpointWriter, save_config_snapshot
     from .trainer import Trainer
 
     args = build_argparser().parse_args(argv)
@@ -160,9 +162,9 @@ def main(argv: Optional[list] = None) -> None:
 
     example = next(iter(train_loader))
     trainer.init_state(example, seed=args.seed)
+    ckpt = AsyncCheckpointWriter(logdir)
     if args.load_epoch is not None:
-        trainer.state = restore_checkpoint(logdir, args.load_epoch,
-                                           trainer.state)
+        trainer.state = ckpt.restore(args.load_epoch, trainer.state)
         print(f"resumed from epoch {args.load_epoch}")
 
     # In-job elastic recovery (torchelastic restart semantics): a failed
@@ -194,10 +196,13 @@ def main(argv: Optional[list] = None) -> None:
                     for k, v in val_metrics.items():
                         writer.add_scalar(k, v, epoch + 1)
 
-            save_checkpoint(logdir, trainer.state, epoch + 1)
+            # async: staging returns immediately, the write overlaps the
+            # next epoch's training (AsyncCheckpointWriter)
+            ckpt.save(epoch + 1, trainer.state)
             last_saved = epoch + 1
             epoch += 1
         except (KeyboardInterrupt, SystemExit):
+            ckpt.close()
             raise
         except Exception as exc:
             from .elastic import write_error_file
@@ -212,9 +217,9 @@ def main(argv: Optional[list] = None) -> None:
                   f"({type(exc).__name__}: {exc}); restart "
                   f"{restarts}/{args.max_restarts}, error file {err_path}")
             if last_saved is not None:
-                trainer.state = restore_checkpoint(logdir, last_saved,
-                                                   trainer.state)
+                trainer.state = ckpt.restore(last_saved, trainer.state)
                 print(f"[elastic] restored checkpoint epoch {last_saved}")
+    ckpt.close()  # drains any in-flight async save
 
 
 if __name__ == "__main__":
