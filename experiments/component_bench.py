@@ -80,14 +80,14 @@ def full_model_breakdown(cfg, batch, rng):
                            for t in jax.tree.leaves(g))
         timeit(name, run, vars_, data)
 
-    bench_cfg("FULL step (all losses)", cfg, "full")
-    no_multi = cfg.replace(model=dataclasses.replace(
-        cfg.model, multitask=False))
+    auto = cfg.replace(model=dataclasses.replace(
+        cfg.model, group_lowering="auto"))
+    bench_cfg("FULL step (auto lowering)", auto, "full")
+    no_multi = auto.replace(model=dataclasses.replace(
+        auto.model, multitask=False))
     bench_cfg("no seg/depth decoders", no_multi, "full")
-    bench_cfg("wp-only loss (no heads bwd)", cfg, "wp_only")
-    dense = cfg.replace(model=dataclasses.replace(
-        cfg.model, group_lowering="dense"))
-    bench_cfg("FULL + dense-groups", dense, "full")
+    bench_cfg("wp-only loss (no heads bwd)", auto, "wp_only")
+    bench_cfg("FULL step (native groups)", cfg, "full")
 
 
 def main():
