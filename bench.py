@@ -112,6 +112,16 @@ def main() -> None:
         lowering = "dense"
     model_cfg = dataclasses.replace(
         cfg.model, remat=remat, group_lowering=lowering)
+    # alternate encoder architectures, e.g. --image-arch=convnext_base
+    # (regnety_032 x2 stays the flagship; see PERF_NOTES for measured
+    # comparisons)
+    for f in flags:
+        if f.startswith("--image-arch="):
+            model_cfg = dataclasses.replace(
+                model_cfg, image_architecture=f.split("=", 1)[1])
+        if f.startswith("--lidar-arch="):
+            model_cfg = dataclasses.replace(
+                model_cfg, lidar_architecture=f.split("=", 1)[1])
     cfg = cfg.replace(model=model_cfg)
     split_step = "--monolithic" not in flags
     log(f"batch={batch_size} remat={cfg.model.remat} "

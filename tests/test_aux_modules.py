@@ -203,15 +203,25 @@ def test_train_cli_elastic_restart(tmp_path, monkeypatch):
                         lambda dirs, cfg, **kw: StubSet([1, 2, 3]))
     monkeypatch.setattr("transfuser_tpu.data.loader.PrefetchLoader",
                         StubLoader)
-    monkeypatch.setattr(
-        "transfuser_tpu.train.checkpoint.save_checkpoint",
-        lambda logdir, state, epoch, **kw: calls["saves"].append(epoch))
+    class StubWriter:
+        def __init__(self, logdir, use_orbax=None):
+            pass
 
-    def fake_restore(logdir, epoch, state, **kw):
-        calls["restores"] += 1
-        return state
-    monkeypatch.setattr("transfuser_tpu.train.checkpoint.restore_checkpoint",
-                        fake_restore)
+        def save(self, epoch, state):
+            calls["saves"].append(epoch)
+
+        def restore(self, epoch, state):
+            calls["restores"] += 1
+            return state
+
+        def wait(self):
+            pass
+
+        def close(self):
+            calls["closed"] = True
+
+    monkeypatch.setattr(
+        "transfuser_tpu.train.checkpoint.AsyncCheckpointWriter", StubWriter)
     monkeypatch.setenv("TPU_ELASTIC_ERROR_FILE",
                        str(tmp_path / "err.json"))
 
@@ -221,4 +231,5 @@ def test_train_cli_elastic_restart(tmp_path, monkeypatch):
     # epoch0 ok, epoch1(first try)=fail, restore, epoch1 retry ok
     assert calls["saves"] == [1, 2]
     assert calls["restores"] == 1
+    assert calls.get("closed")  # writer drained at exit
     assert (tmp_path / "err.json").exists()
