@@ -163,7 +163,8 @@ def test_train_cli_elastic_restart(tmp_path, monkeypatch):
     calls = {"epochs": [], "restores": 0, "saves": []}
 
     class StubState:
-        pass
+        params = {"w": np.zeros(1)}
+        batch_stats = {}
 
     class StubTrainer:
         def __init__(self, *a, **kw):

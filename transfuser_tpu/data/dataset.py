@@ -137,7 +137,8 @@ class CarlaDataset:
         aligned = lidar_np.align_lidar(
             lidar_pts, measurements["ego_matrix"], measurements["ego_matrix"],
             degree=degree)
-        lidar_hist = lidar_np.lidar_to_histogram(aligned)
+        lidar_hist = lidar_np.lidar_to_histogram(
+            aligned, grid=cfg.sensors.lidar_resolution_width)
 
         # Bit-packed topdown BEV
         import cv2
@@ -145,6 +146,12 @@ class CarlaDataset:
         packed = cv2.cvtColor(packed, cv2.COLOR_BGR2RGB)
         road_lane = decoders.decode_bev_channels(packed)
         bev = decoders.crop_and_encode_bev(road_lane, degree)
+        bev_hw = (cfg.bev.bev_resolution_height,
+                  cfg.bev.bev_resolution_width)
+        if bev.shape[:2] != bev_hw:
+            # small-shape configs train at reduced BEV label resolution
+            bev = cv2.resize(bev, (bev_hw[1], bev_hw[0]),
+                             interpolation=cv2.INTER_NEAREST)
 
         sample: Dict[str, np.ndarray] = {
             "rgb": rgb.astype(np.float32),

@@ -219,6 +219,16 @@ def main(argv: Optional[list] = None) -> None:
             if last_saved is not None:
                 trainer.state = ckpt.restore(last_saved, trainer.state)
                 print(f"[elastic] restored checkpoint epoch {last_saved}")
+    # Export final weights in the inference format HybridAgent loads —
+    # the reference's model_%d.pth doubles as eval weights
+    # (train.py:381-384 -> submission_agent.py:84-99); here training
+    # checkpoints are orbax train-state dirs, so the eval-format export
+    # is explicit.
+    from .checkpoint import save_inference_weights
+    save_inference_weights(
+        os.path.join(logdir, f"model_{epoch}.msgpack"),
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats})
     ckpt.close()  # drains any in-flight async save
 
 
