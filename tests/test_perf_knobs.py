@@ -25,7 +25,7 @@ import pytest
 @pytest.mark.parametrize("lowering", ["dense", "im2col", "chunked", "auto"])
 def test_group_lowering_matches_native(lowering):
     # regnety_micro group counts are (1, 2, 4, 8): 'auto' exercises both
-    # its dense (g<=6) and im2col (g>6) branches.
+    # its dense (g<=6) and chunked (g>6) branches.
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
     nat = make_encoder("regnety_micro", 3, jnp.float32)

@@ -314,3 +314,13 @@ def test_route_without_lane_change_flag(town2):
     pts = np.array([(t.location.x, t.location.y) for t in direct])
     direct_len = float(np.linalg.norm(np.diff(pts, axis=0), axis=1).sum())
     assert direct_len < 80.0
+
+
+def test_route_backwards_goal_routes_around(town):
+    # goal BEHIND the start on the same lane: must loop via topology,
+    # not degenerate to a single point (round-2 review finding)
+    r = town.route((60.0, -1.75), (20.0, -1.75))
+    pts = np.array([(t.location.x, t.location.y) for t in r])
+    assert len(pts) > 100
+    assert np.linalg.norm(np.diff(pts, axis=0), axis=1).max() < 2.0
+    assert np.linalg.norm(pts[-1] - [20.0, -1.75]) < 1.0

@@ -63,9 +63,19 @@ class HybridAgent(AutonomousAgent):
             self.config = GlobalConfig()
             weight_files = []
 
-        if any(p.endswith(".pth") for p in weight_files):
-            # reference torch checkpoints carry the GPT token-unpack view
-            # quirk (models/gpt.py); the model must replicate it
+        n_pth = sum(p.endswith(".pth") for p in weight_files)
+        if n_pth and not self.config.model.gpt.reference_view_unpack:
+            # Reference torch checkpoints carry the GPT token-unpack view
+            # quirk (models/gpt.py) — a spatial permutation the whole
+            # vmapped ensemble graph either has or hasn't. Flip it only
+            # when EVERY member needs it; a mixed dir (converted .pth +
+            # natively trained .msgpack) cannot share one graph.
+            if n_pth != len(weight_files):
+                raise ValueError(
+                    "ensemble mixes reference .pth members (which need "
+                    "the GPT view-unpack quirk) with natively trained "
+                    "members (which don't): split them into separate "
+                    f"model dirs ({path_to_conf_file})")
             import dataclasses
             gpt = dataclasses.replace(self.config.model.gpt,
                                       reference_view_unpack=True)

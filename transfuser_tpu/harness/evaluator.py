@@ -179,6 +179,10 @@ class Evaluator:
             manager.load_scenario(scenario, agent, default_sensor_feeder)
             start_system = time.time()
             manager.run_scenario()
+            # collect_events() runs the criteria finalize() pass
+            # (route-completion %, outside-lanes infraction) — it must
+            # precede the table so the printout matches the JSON record.
+            events = scenario.collect_events()
             if self.args.print_route_table:
                 from .result_writer import ResultOutputProvider
                 failed = any(c.test_status == "FAILURE"
@@ -192,7 +196,7 @@ class Evaluator:
                     start_system_time=start_system,
                     repetition=getattr(config, "repetition_index", 0))
             record = self.statistics.compute_route_statistics(
-                config.index, scenario.collect_events(),
+                config.index, events,
                 config.trajectory, manager.duration_system,
                 manager.duration_game, timed_out=manager.timed_out)
             self.statistics.save_record(record, config.index,

@@ -61,11 +61,12 @@ def fancy_grid(rows: Sequence[Sequence[str]]) -> str:
 def _criterion_value(criterion) -> str:
     """Criterion-specific value column (result_writer.py:85-96)."""
     name = getattr(criterion, "name", type(criterion).__name__)
-    if name in ("RouteCompletionTest", "OutsideRouteLanesTest"):
-        pct = getattr(criterion, "percentage", None)
-        if pct is None:
-            pct = getattr(criterion, "outside_percentage", 0.0)
-        return f"{pct:.2f} %"
+    if name == "RouteCompletionTest":
+        return f"{getattr(criterion, 'percentage', 0.0):.2f} %"
+    if name == "OutsideRouteLanesTest":
+        driven = getattr(criterion, "_driven_distance", 0.0)
+        outside = getattr(criterion, "_outside_distance", 0.0)
+        return f"{100.0 * outside / max(driven, 1e-9):.2f} %"
     if name in ("CollisionTest", "RunningRedLightTest", "RunningStopTest"):
         return f"{len(criterion.events)} times"
     if name in ("InRouteTest", "AgentBlockedTest"):
@@ -105,6 +106,9 @@ class ResultOutputProvider:
 
         sys_t = round(self.duration_system, 2)
         game_t = round(self.duration_game, 2)
+        # reference parity quirk: result_writer.py:55 computes
+        # game/system while labeling the row "System Time / Game Time";
+        # reproduced verbatim so tables compare 1:1.
         ratio = round(self.duration_game / max(self.duration_system, 1e-9),
                       3)
         out += fancy_grid([

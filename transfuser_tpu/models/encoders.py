@@ -165,8 +165,10 @@ class ConvBN(nn.Module):
 
     group_lowering: 'native' uses feature_group_count; 'dense' lowers
     grouped convs to a block-diagonal dense conv (see DenseGroupedConv);
-    'im2col' to a group-batched einsum (Im2colGroupedConv); 'auto' picks
-    dense for few groups, im2col for many.
+    'chunked' to ~128-wide block-diagonal chunks
+    (ChunkedDenseGroupedConv); 'im2col' to a group-batched einsum
+    (measured slower, kept documented); 'auto' picks dense for few
+    groups, chunked for many.
     """
 
     features: int

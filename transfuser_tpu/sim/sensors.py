@@ -174,13 +174,24 @@ class PinholeCamera:
             ce, se = math.cos(ego_yaw), math.sin(ego_yaw)
             wx = ego_xy[0] + xe * ce - ye * se
             wy = ego_xy[1] + xe * se + ye * ce
-            road_sub = np.zeros(sub_t.shape, bool)
-            it = np.nditer(sub_hit, flags=["multi_index"])
-            for ok in it:
-                if ok:
-                    i, j = it.multi_index
-                    road_sub[i, j] = sim.town_map.on_road(
-                        float(wx[i, j]), float(wy[i, j]))
+            # rasterize the nearby road network once (0.5 m/px local
+            # grid), then sample every hit point — the per-pixel
+            # nearest-lane query was ~30k Python calls per render
+            res = 0.5
+            rad = 220.0
+            n = int(2 * rad / res)
+            origin = ego_xy - rad
+            mask = np.zeros((n, n), np.uint8)
+            for lane in sim.town_map.lanes_near(ego_xy[0], ego_xy[1],
+                                                rad):
+                px = ((lane.centerline - origin) / res).astype(np.int32)
+                cv2.polylines(mask, [px.reshape(-1, 1, 2)], False, 1,
+                              thickness=max(1, round(lane.width / res)))
+            ix = np.clip(((wx - origin[0]) / res).astype(np.int32),
+                         0, n - 1)
+            iy = np.clip(((wy - origin[1]) / res).astype(np.int32),
+                         0, n - 1)
+            road_sub = (mask[iy, ix] > 0) & sub_hit
             road_full = cv2.resize(road_sub.astype(np.uint8), (w, h),
                                    interpolation=cv2.INTER_NEAREST) > 0
             sem[hit & road_full] = ROAD

@@ -245,12 +245,16 @@ class TownMap:
         if la.lane_id == lb.lane_id and sb >= sa:
             chain: List[Tuple[int, str]] = [(la.lane_id, "start")]
         else:
+            # The goal is detected on EDGE arrival (not dequeue) so that
+            # a goal BEHIND the start on the same lane re-enters the
+            # start lane via topology instead of degenerating to a
+            # single point.
+            goal = lb.lane_id
             prev: Dict[int, Tuple[int, str]] = {la.lane_id: (-1, "start")}
+            goal_entry: Optional[Tuple[int, str]] = None
             q = deque([la.lane_id])
-            while q:
+            while q and goal_entry is None:
                 cur = q.popleft()
-                if cur == lb.lane_id:
-                    break
                 lane = self.lanes[cur]
                 hops = [(nxt, "s") for nxt in lane.successors]
                 if allow_lane_change and not lane.is_junction:
@@ -259,13 +263,16 @@ class TownMap:
                                 and not self.lanes[nb].is_junction:
                             hops.append((nb, "n"))
                 for nxt, kind in hops:
+                    if nxt == goal:
+                        goal_entry = (cur, kind)
+                        break
                     if nxt not in prev:
                         prev[nxt] = (cur, kind)
                         q.append(nxt)
-            if lb.lane_id not in prev:
+            if goal_entry is None:
                 raise ValueError("no route between start and goal")
-            chain = []
-            cur = lb.lane_id
+            chain = [(goal, goal_entry[1])]
+            cur = goal_entry[0]
             while cur != -1:
                 parent, kind = prev[cur]
                 chain.append((cur, kind))

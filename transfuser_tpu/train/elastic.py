@@ -7,8 +7,8 @@ error file (message, traceback, rank, host, pid, timestamp) that the
 launcher surfaces instead of a silent death. This is the TPU-native
 equivalent: ``@record`` wraps any callable; the error-file path comes
 from ``TPU_ELASTIC_ERROR_FILE`` (or ``TORCHELASTIC_ERROR_FILE`` for
-drop-in launcher compat), defaulting to ``crash_<pid>.json`` in the
-working directory. The process index is taken from jax when initialized,
+drop-in launcher compat), defaulting to ``crash_<pid>.json`` under the
+system temp dir. The process index is taken from jax when initialized,
 else from common launcher env vars.
 """
 
@@ -41,9 +41,11 @@ def _process_index() -> int:
 
 
 def error_file_path() -> str:
+    import tempfile
     return (os.environ.get("TPU_ELASTIC_ERROR_FILE")
             or os.environ.get("TORCHELASTIC_ERROR_FILE")
-            or f"crash_{os.getpid()}.json")
+            or os.path.join(tempfile.gettempdir(),
+                            f"crash_{os.getpid()}.json"))
 
 
 def write_error_file(exc: BaseException,
