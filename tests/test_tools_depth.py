@@ -243,3 +243,18 @@ def test_lane_change_generator(tmp_path):
         (c.trajectory[1].location.x, c.trajectory[1].location.y))
     pts = np.array([(t.location.x, t.location.y) for t in dense])
     assert np.linalg.norm(np.diff(pts, axis=0), axis=1).max() < 2.0
+
+
+def test_expert_benchmark_tool(tmp_path):
+    """The autopilot_longest6-equivalent artifact: generated routes +
+    scenarios + moving traffic, expert-driven, scored JSON out."""
+    from transfuser_tpu.tools.expert_benchmark import run_expert_benchmark
+    out = str(tmp_path / "expert.json")
+    scores = run_expert_benchmark(out, n_routes=2, max_game_seconds=25.0,
+                                  background_vehicles=8,
+                                  workdir=str(tmp_path))
+    assert scores["n_routes"] == 2
+    assert 0.0 <= scores["score_composed"] <= 100.0
+    data = json.load(open(out))
+    assert data["labels"][0] == "Avg. driving score"
+    assert len(data["_checkpoint"]["records"]) == 2

@@ -1,0 +1,120 @@
+"""Hermetic expert benchmark — the repo's `autopilot_longest6` artifact.
+
+The reference ships the privileged expert's Longest6 closed-loop result
+(`results/autopilot_longest6.json`, driving score 74.487 over 36 routes
+with dense traffic; labels at statistics_manager_local.py:278-290).
+This produces the equivalent scored artifact for the hermetic backend:
+routes generated from the multi-lane grid town's topology (junction
+crossings + lane changes + straights), signalized intersections, moving
+background traffic and scenario triggers, driven by the AutoPilot and
+scored by the same statistics engine / JSON schema.
+
+CLI:  python -m transfuser_tpu.tools.expert_benchmark \
+          --out results/autopilot_hermetic.json [--routes 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+
+def _write_benchmark_routes(graph, path: str, n_routes: int) -> int:
+    """Route XML mixing junction crossings, lane changes and straights."""
+    from .route_gen import (junction_routes, lane_change_routes,
+                            routes_to_xml, topology_walks)
+    pool = []
+    for turn in ("straight", "left", "right"):
+        pool.extend(junction_routes(graph, turn=turn)[:: 7])
+    lc = lane_change_routes(graph)
+    pool.extend(lc["lr"][:: 9] + lc["rl"][:: 9])
+    pool.extend(topology_walks(graph)[:: 5])
+    pool = [r[:: 5] + [r[-1]] if len(r) > 3 else r for r in pool]
+    routes = [r for r in pool if len(r) >= 2][:n_routes]
+    routes_to_xml(routes, graph.name, path)
+    return len(routes)
+
+
+def _write_benchmark_scenarios(graph, path: str) -> int:
+    """Scenario JSON combining trigger types along the routes."""
+    from .route_gen import _scenario_triggers
+    events = []
+    for stype in ("Scenario1", "Scenario3", "Scenario4"):
+        try:
+            triggers = _scenario_triggers(graph, stype)
+        except ValueError:
+            continue
+        for x, y, yaw in triggers[:: 4]:
+            events.append({"transform": {"x": x, "y": y, "z": 0.0,
+                                         "yaw": yaw, "pitch": 0.0},
+                           "other_actors": {},
+                           "scenario_type": stype})
+    by_type: dict = {}
+    for e in events:
+        by_type.setdefault(e["scenario_type"], []).append(
+            {"transform": e["transform"], "other_actors": {}})
+    data = {"available_scenarios": [{graph.name: [
+        {"available_event_configurations": evs, "scenario_type": st}
+        for st, evs in by_type.items()]}]}
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    return len(events)
+
+
+def run_expert_benchmark(out_json: str, n_routes: int = 12,
+                         town_spec: str = "grid:2x80x2",
+                         background_vehicles: int = 20,
+                         max_game_seconds: float = 90.0,
+                         workdir: Optional[str] = None,
+                         print_route_table: bool = False) -> dict:
+    from ..agents.autopilot import AutoPilot
+    from .route_gen import TownGraph
+    from ..harness.evaluator import (Evaluator, EvaluatorArgs,
+                                     build_town_map)
+
+    workdir = workdir or tempfile.mkdtemp(prefix="expert_bench_")
+    town = build_town_map(town_spec)
+    graph = TownGraph.from_town_map(town)
+    routes_xml = os.path.join(workdir, "routes.xml")
+    scen_json = os.path.join(workdir, "scenarios.json")
+    n = _write_benchmark_routes(graph, routes_xml, n_routes)
+    _write_benchmark_scenarios(graph, scen_json)
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_json)), exist_ok=True)
+    result = Evaluator(EvaluatorArgs(
+        routes=routes_xml, scenarios=scen_json,
+        agent_factory=lambda cfg: AutoPilot(),
+        checkpoint=out_json,
+        town_map=town_spec,
+        background_vehicles=background_vehicles,
+        max_game_seconds=max_game_seconds,
+        print_route_table=print_route_table)).run()
+    scores = result.get("scores", result)
+    scores["n_routes"] = n
+    return scores
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="results/autopilot_hermetic.json")
+    p.add_argument("--routes", type=int, default=12)
+    p.add_argument("--town", default="grid:2x80x2")
+    p.add_argument("--background", type=int, default=20)
+    p.add_argument("--max_game_seconds", type=float, default=90.0)
+    p.add_argument("--table", action="store_true",
+                   help="print the per-route ANSI criteria tables")
+    args = p.parse_args(argv)
+    scores = run_expert_benchmark(
+        args.out, n_routes=args.routes, town_spec=args.town,
+        background_vehicles=args.background,
+        max_game_seconds=args.max_game_seconds,
+        print_route_table=args.table)
+    print(json.dumps(scores))
+
+
+if __name__ == "__main__":
+    main()
