@@ -112,9 +112,9 @@ def main() -> None:
         lowering = "dense"
     model_cfg = dataclasses.replace(
         cfg.model, remat=remat, group_lowering=lowering)
-    # alternate encoder architectures, e.g. --image-arch=convnext_base
-    # (regnety_032 x2 stays the flagship; see PERF_NOTES for measured
-    # comparisons)
+    # alternate architectures/families, e.g. --image-arch=convnext_base
+    # or --backbone=late_fusion (regnety_032 transFuser stays the
+    # flagship; see PERF_NOTES for measured comparisons)
     for f in flags:
         if f.startswith("--image-arch="):
             model_cfg = dataclasses.replace(
@@ -122,6 +122,9 @@ def main() -> None:
         if f.startswith("--lidar-arch="):
             model_cfg = dataclasses.replace(
                 model_cfg, lidar_architecture=f.split("=", 1)[1])
+        if f.startswith("--backbone="):
+            model_cfg = dataclasses.replace(
+                model_cfg, backbone=f.split("=", 1)[1])
     cfg = cfg.replace(model=model_cfg)
     split_step = "--monolithic" not in flags
     log(f"batch={batch_size} remat={cfg.model.remat} "
@@ -237,6 +240,7 @@ def main() -> None:
             "batch_size": batch_size, "remat": cfg.model.remat,
             "group_lowering": cfg.model.group_lowering,
             "split_step": split_step,
+            "backbone": cfg.model.backbone,
             "device": str(jax.devices()[0]),
         }))
         return
@@ -313,6 +317,7 @@ def main() -> None:
         "remat": cfg.model.remat,
         "group_lowering": cfg.model.group_lowering,
         "split_step": split_step,
+        "backbone": cfg.model.backbone,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

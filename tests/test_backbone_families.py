@@ -82,3 +82,27 @@ def test_training_reduces_loss():
     last = float(m["loss_total"])
     assert np.isfinite(last)
     assert last < first * 0.9, (first, last)
+
+
+@pytest.mark.parametrize("family", ["geometric_fusion", "pillars"])
+def test_trainer_supports_every_family(family):
+    """The shipped Trainer must train geometric fusion (correspondence
+    tensors) and point pillars (raw cloud + counts), not just the
+    histogram families (round-2 fix: init/apply forward the extras)."""
+    from transfuser_tpu.train.trainer import Trainer
+
+    if family == "pillars":
+        cfg = tiny_config("transFuser")
+        pp = dataclasses.replace(cfg.model.point_pillars,
+                                 use_point_pillars=True,
+                                 max_lidar_points=500, min_x=-4.0,
+                                 max_x=4.0, min_y=-8.0, max_y=0.0)
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    point_pillars=pp))
+    else:
+        cfg = tiny_config(family)
+    batch = synthetic_batch(cfg, 2, **SMALL)
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    state = trainer.init_state(batch)
+    state, metrics = trainer.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss_total"]))

@@ -42,13 +42,16 @@ def _apply_model(model: LidarCenterNet, params, batch_stats, batch,
                      cam_points=batch["cam_points"])
     if "num_points" in batch:
         extra["num_points"] = batch["num_points"]
+    # point pillars consume the padded raw cloud, not the histogram
+    lidar = batch.get("lidar_raw") if "num_points" in batch \
+        else batch["lidar"]
     if train:
         return model.apply(
-            variables, batch["rgb"], batch["lidar"], batch["target_point"],
+            variables, batch["rgb"], lidar, batch["target_point"],
             batch.get("target_point_image"), batch.get("speed"),
             mutable=["batch_stats"], **extra, **kwargs)
     out = model.apply(
-        variables, batch["rgb"], batch["lidar"], batch["target_point"],
+        variables, batch["rgb"], lidar, batch["target_point"],
         batch.get("target_point_image"), batch.get("speed"), **extra,
         **kwargs)
     return out, {"batch_stats": batch_stats}
@@ -173,19 +176,27 @@ class Trainer:
         rngs = {"params": jax.random.PRNGKey(seed),
                 "dropout": jax.random.PRNGKey(seed + 1)}
 
-        def init_fn(rngs, batch):
-            variables = self.model.init(
-                rngs, batch["rgb"], batch["lidar"], batch["target_point"],
+        def model_init(rngs, batch):
+            # same optional extras as _apply_model (geometric-fusion
+            # correspondences, point-pillar counts)
+            extra = {}
+            if "bev_points" in batch:
+                extra = dict(bev_points=batch["bev_points"],
+                             cam_points=batch["cam_points"])
+            if "num_points" in batch:
+                extra["num_points"] = batch["num_points"]
+            lidar = batch.get("lidar_raw") if "num_points" in batch \
+                else batch["lidar"]
+            return self.model.init(
+                rngs, batch["rgb"], lidar, batch["target_point"],
                 batch.get("target_point_image"), batch.get("speed"),
-                train=False)
-            return create_train_state(variables, self.tx)
+                train=False, **extra)
+
+        def init_fn(rngs, batch):
+            return create_train_state(model_init(rngs, batch), self.tx)
 
         if self.mesh is None:
-            variables = jax.jit(
-                lambda r, batch: self.model.init(
-                    r, batch["rgb"], batch["lidar"], batch["target_point"],
-                    batch.get("target_point_image"), batch.get("speed"),
-                    train=False))(rngs, example_batch)
+            variables = jax.jit(model_init)(rngs, example_batch)
             opt_state = jax.jit(self.tx.init)(variables["params"])
             self.state = TrainState(step=jnp.zeros((), jnp.int32),
                                     params=variables["params"],
