@@ -125,6 +125,10 @@ def main() -> None:
         if f.startswith("--backbone="):
             model_cfg = dataclasses.replace(
                 model_cfg, backbone=f.split("=", 1)[1])
+    if "--pillars" in flags:
+        model_cfg = dataclasses.replace(
+            model_cfg, point_pillars=dataclasses.replace(
+                model_cfg.point_pillars, use_point_pillars=True))
     cfg = cfg.replace(model=model_cfg)
     split_step = "--monolithic" not in flags
     log(f"batch={batch_size} remat={cfg.model.remat} "

@@ -33,6 +33,9 @@ def main(argv=None) -> None:
     p.add_argument("--routes", type=int, default=8)
     p.add_argument("--ticks", type=int, default=400)
     p.add_argument("--eval_seconds", type=float, default=45.0)
+    p.add_argument("--turns", action="store_true",
+                   help="train/eval on routes through junctions "
+                        "(grid-town lane graph) instead of straights")
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
@@ -75,15 +78,30 @@ def main(argv=None) -> None:
                           Rotation(yaw=yaw))
                 for d in np.arange(0.0, length, 10.0)]
 
-    starts = [(12.0, -1.75, 0.0), (148.0, 1.75, 180.0),
-              (1.75, 12.0, 90.0), (-1.75, 148.0, 270.0),
-              (12.0, 78.25, 0.0), (148.0, 81.75, 180.0),
-              (81.75, 12.0, 90.0), (78.25, 148.0, 270.0)]
+    if args.turns:
+        # drivable routes through junctions: smooth bezier connectors
+        # from the grid town's lane graph
+        from transfuser_tpu.sim.town_map import grid_town
+        town = grid_town(blocks=2, block_size=80.0)
+        turn_pairs = [((12.0, -1.75), (81.75, 60.0)),
+                      ((148.0, 1.75), (78.25, 60.0)),
+                      ((1.75, 12.0), (60.0, 81.75)),
+                      ((-1.75, 148.0), (60.0, 78.25)),
+                      ((12.0, 78.25), (81.75, 140.0)),
+                      ((148.0, 81.75), (78.25, 20.0)),
+                      ((81.75, 12.0), (148.0, 81.75)),
+                      ((78.25, 148.0), (12.0, 78.25))]
+        trajs = [town.route(a, b) for a, b in turn_pairs[: args.routes]]
+    else:
+        starts = [(12.0, -1.75, 0.0), (148.0, 1.75, 180.0),
+                  (1.75, 12.0, 90.0), (-1.75, 148.0, 270.0),
+                  (12.0, 78.25, 0.0), (148.0, 81.75, 180.0),
+                  (81.75, 12.0, 90.0), (78.25, 148.0, 270.0)]
+        trajs = [straight(*s) for s in starts[: args.routes]]
     route_dirs = []
-    for ri, (x0, y0, yaw) in enumerate(starts[: args.routes]):
+    for ri, traj in enumerate(trajs):
         os.environ["SAVE_PATH"] = os.path.join(work, f"data_{ri}")
         agent = DataAgent(route_index=ri)
-        traj = straight(x0, y0, yaw)
         dense = interpolate_trajectory(traj)
         ids = downsample_route(dense, 50.0)
         sparse = [dense[i] for i in ids]
@@ -144,20 +162,34 @@ def main(argv=None) -> None:
         first, seed=123)
     untrained_dir = model_dir("untrained", untrained_state)
 
-    # held-out: straight routes at offsets not in the training set
+    # held-out routes (start offsets not in the training set)
     eval_routes = os.path.join(work, "eval_routes.xml")
     with open(eval_routes, "w") as f:
         f.write('<?xml version="1.0"?><routes>')
-        for i, (x0, y0, yaw) in enumerate(
-                [(20.0, -81.75 + 80.0, 0.0), (1.75, 20.0, 90.0)]):
-            import math
-            c, s = (math.cos(math.radians(yaw)),
-                    math.sin(math.radians(yaw)))
-            f.write(f'<route id="{i}" town="grid_town">')
-            for d in (0.0, 120.0):
-                f.write(f'<waypoint x="{x0 + c * d}" y="{y0 + s * d}" '
-                        f'z="0" yaw="{yaw}" pitch="0" roll="0"/>')
-            f.write('</route>')
+        if args.turns:
+            eval_trajs = [town.route(a, b) for a, b in
+                          [((20.0, -1.75), (81.75, 70.0)),
+                           ((1.75, 20.0), (70.0, 81.75))]]
+            for i, tr in enumerate(eval_trajs):
+                f.write(f'<route id="{i}" town="grid_town">')
+                for t in tr[:: 15] + [tr[-1]]:
+                    f.write(f'<waypoint x="{t.location.x}" '
+                            f'y="{t.location.y}" z="0" '
+                            f'yaw="{t.rotation.yaw}" pitch="0" '
+                            f'roll="0"/>')
+                f.write('</route>')
+        else:
+            for i, (x0, y0, yaw) in enumerate(
+                    [(20.0, -81.75 + 80.0, 0.0), (1.75, 20.0, 90.0)]):
+                import math
+                c, s = (math.cos(math.radians(yaw)),
+                        math.sin(math.radians(yaw)))
+                f.write(f'<route id="{i}" town="grid_town">')
+                for d in (0.0, 120.0):
+                    f.write(f'<waypoint x="{x0 + c * d}" '
+                            f'y="{y0 + s * d}" '
+                            f'z="0" yaw="{yaw}" pitch="0" roll="0"/>')
+                f.write('</route>')
         f.write('</routes>')
 
     scores = {}
