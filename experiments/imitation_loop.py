@@ -129,6 +129,7 @@ def main(argv=None) -> None:
     trainer = Trainer(cfg, dtype=jnp.float32)
     it = iter(loader)
     first = next(it)
+    it.close()  # release the init-batch iterator's worker threads
     state = trainer.init_state(first, seed=0)
     losses = []
     step = 0

@@ -19,6 +19,8 @@ is the practical bound for dynamic voxelization at these shapes.
 Output verified bit-equal to the XLA path.
 """
 
+import time
+
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -24,15 +24,23 @@ from typing import Optional
 
 
 def _write_benchmark_routes(graph, path: str, n_routes: int) -> int:
-    """Route XML mixing junction crossings, lane changes and straights."""
+    """Route XML mixing junction crossings, lane changes and straights —
+    categories are interleaved round-robin so truncation to n_routes
+    keeps the mix instead of dropping whole categories."""
     from .route_gen import (junction_routes, lane_change_routes,
                             routes_to_xml, topology_walks)
-    pool = []
-    for turn in ("straight", "left", "right"):
-        pool.extend(junction_routes(graph, turn=turn)[:: 7])
     lc = lane_change_routes(graph)
-    pool.extend(lc["lr"][:: 9] + lc["rl"][:: 9])
-    pool.extend(topology_walks(graph)[:: 5])
+    pools = [junction_routes(graph, turn="straight")[:: 7],
+             junction_routes(graph, turn="left")[:: 7],
+             junction_routes(graph, turn="right")[:: 7],
+             lc["lr"][:: 9] + lc["rl"][:: 9],
+             topology_walks(graph)[:: 5]]
+    pool = []
+    i = 0
+    while any(pools) and len(pool) < n_routes * 2:
+        if pools[i % len(pools)]:
+            pool.append(pools[i % len(pools)].pop(0))
+        i += 1
     pool = [r[:: 5] + [r[-1]] if len(r) > 3 else r for r in pool]
     routes = [r for r in pool if len(r) >= 2][:n_routes]
     routes_to_xml(routes, graph.name, path)
@@ -40,29 +48,26 @@ def _write_benchmark_routes(graph, path: str, n_routes: int) -> int:
 
 
 def _write_benchmark_scenarios(graph, path: str) -> int:
-    """Scenario JSON combining trigger types along the routes."""
+    """Scenario JSON combining trigger types along the routes (deduped
+    like route_gen.generate_scenarios)."""
     from .route_gen import _scenario_triggers
-    events = []
+    by_type = {}
+    total = 0
     for stype in ("Scenario1", "Scenario3", "Scenario4"):
-        try:
-            triggers = _scenario_triggers(graph, stype)
-        except ValueError:
-            continue
-        for x, y, yaw in triggers[:: 4]:
-            events.append({"transform": {"x": x, "y": y, "z": 0.0,
+        triggers = sorted({(round(x, 1), round(y, 1), round(yaw, 0))
+                           for x, y, yaw in
+                           _scenario_triggers(graph, stype)[:: 4]})
+        by_type[stype] = [{"transform": {"x": x, "y": y, "z": 0.0,
                                          "yaw": yaw, "pitch": 0.0},
-                           "other_actors": {},
-                           "scenario_type": stype})
-    by_type: dict = {}
-    for e in events:
-        by_type.setdefault(e["scenario_type"], []).append(
-            {"transform": e["transform"], "other_actors": {}})
+                           "other_actors": {}}
+                          for x, y, yaw in triggers]
+        total += len(triggers)
     data = {"available_scenarios": [{graph.name: [
         {"available_event_configurations": evs, "scenario_type": st}
         for st, evs in by_type.items()]}]}
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
-    return len(events)
+    return total
 
 
 def run_expert_benchmark(out_json: str, n_routes: int = 12,

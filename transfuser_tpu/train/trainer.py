@@ -30,30 +30,38 @@ MODEL_INPUT_KEYS = ("rgb", "lidar", "target_point", "target_point_image",
                     "speed")
 
 
+def _model_inputs(batch):
+    """(positional args, optional kwargs) for LidarCenterNet from a
+    batch dict. Shared by init_state and the train/eval steps so the
+    initialized graph always matches the trained one (geometric-fusion
+    correspondences, point-pillar raw cloud + counts)."""
+    extra = {}
+    if "bev_points" in batch:
+        extra = dict(bev_points=batch["bev_points"],
+                     cam_points=batch["cam_points"])
+    if "lidar_raw" in batch:
+        # point pillars consume the padded raw cloud, not the
+        # histogram; direct indexing fails loudly on half-built batches
+        lidar = batch["lidar_raw"]
+        extra["num_points"] = batch["num_points"]
+    else:
+        lidar = batch["lidar"]
+    args = (batch["rgb"], lidar, batch["target_point"],
+            batch.get("target_point_image"), batch.get("speed"))
+    return args, extra
+
+
 def _apply_model(model: LidarCenterNet, params, batch_stats, batch,
                  train: bool, dropout_rng=None):
     variables = {"params": params, "batch_stats": batch_stats}
     kwargs = dict(train=train)
     if train:
         kwargs["rngs"] = {"dropout": dropout_rng}
-    extra = {}
-    if "bev_points" in batch:
-        extra = dict(bev_points=batch["bev_points"],
-                     cam_points=batch["cam_points"])
-    if "num_points" in batch:
-        extra["num_points"] = batch["num_points"]
-    # point pillars consume the padded raw cloud, not the histogram
-    lidar = batch.get("lidar_raw") if "num_points" in batch \
-        else batch["lidar"]
+    args, extra = _model_inputs(batch)
     if train:
-        return model.apply(
-            variables, batch["rgb"], lidar, batch["target_point"],
-            batch.get("target_point_image"), batch.get("speed"),
-            mutable=["batch_stats"], **extra, **kwargs)
-    out = model.apply(
-        variables, batch["rgb"], lidar, batch["target_point"],
-        batch.get("target_point_image"), batch.get("speed"), **extra,
-        **kwargs)
+        return model.apply(variables, *args, mutable=["batch_stats"],
+                           **extra, **kwargs)
+    out = model.apply(variables, *args, **extra, **kwargs)
     return out, {"batch_stats": batch_stats}
 
 
@@ -177,20 +185,8 @@ class Trainer:
                 "dropout": jax.random.PRNGKey(seed + 1)}
 
         def model_init(rngs, batch):
-            # same optional extras as _apply_model (geometric-fusion
-            # correspondences, point-pillar counts)
-            extra = {}
-            if "bev_points" in batch:
-                extra = dict(bev_points=batch["bev_points"],
-                             cam_points=batch["cam_points"])
-            if "num_points" in batch:
-                extra["num_points"] = batch["num_points"]
-            lidar = batch.get("lidar_raw") if "num_points" in batch \
-                else batch["lidar"]
-            return self.model.init(
-                rngs, batch["rgb"], lidar, batch["target_point"],
-                batch.get("target_point_image"), batch.get("speed"),
-                train=False, **extra)
+            args, extra = _model_inputs(batch)
+            return self.model.init(rngs, *args, train=False, **extra)
 
         def init_fn(rngs, batch):
             return create_train_state(model_init(rngs, batch), self.tx)
