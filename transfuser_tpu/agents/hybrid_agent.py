@@ -82,6 +82,14 @@ class HybridAgent(AutonomousAgent):
             self.config = self.config.replace(model=dataclasses.replace(
                 self.config.model, gpt=gpt))
 
+        # inference always uses the measured-fastest grouped-conv
+        # lowering: param trees and numerics are identical across
+        # lowerings (tests/test_perf_knobs.py), so the training
+        # snapshot's choice need not constrain the agent
+        import dataclasses as _dc
+        self.config = self.config.replace(model=_dc.replace(
+            self.config.model, group_lowering="auto"))
+
         cfg = self.config
         self.backbone = cfg.model.backbone
         ctrl = cfg.controller
