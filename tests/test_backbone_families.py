@@ -106,3 +106,31 @@ def test_trainer_supports_every_family(family):
     state = trainer.init_state(batch)
     state, metrics = trainer.train_step(state, batch)
     assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_geometric_reference_view_flag():
+    """reference_grid_view reproduces the reference's x-major raw view
+    (transpose to x-major memory, re-view as (h, w)); the config flag
+    changes outputs but not the param tree."""
+    import numpy as np
+    from transfuser_tpu.models.geometric_fusion import reference_grid_view
+
+    # numpy oracle: build the x-major buffer, raw-view it as (h, w)
+    rng = np.random.default_rng(0)
+    clean = rng.integers(0, 7, (1, 5, 22, 5, 2))
+    xmajor = np.transpose(clean, (0, 2, 1, 3, 4))  # G[x, y] memory
+    expected = xmajor.reshape(1, 5, 22, 5, 2)      # reference raw view
+    got = np.asarray(reference_grid_view(jnp.asarray(clean)))
+    np.testing.assert_array_equal(got, expected)
+
+    cfg = tiny_config("geometric_fusion")
+    cfg_q = cfg.replace(model=dataclasses.replace(
+        cfg.model, geometric_reference_view=True))
+    batch = synthetic_batch(cfg, 2, **SMALL)
+    model, variables, out = _init_and_outputs(cfg, batch)
+    model_q, variables_q, out_q = _init_and_outputs(cfg_q, batch)
+    assert jax.tree.structure(variables["params"]) == \
+        jax.tree.structure(variables_q["params"])
+    # the scramble must actually change the fusion output
+    assert not np.allclose(np.asarray(out["pred_wp"]),
+                           np.asarray(out_q["pred_wp"]))

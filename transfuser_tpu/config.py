@@ -118,6 +118,13 @@ class ModelConfig:
     image_architecture: str = "regnety_032"
     lidar_architecture: str = "regnety_032"
     use_velocity: bool = False
+    # Geometric fusion only: consume the correspondence grids the way
+    # the reference model does — its data stores x-major grids
+    # (data.py:636-637) that the model views as (h, w)
+    # (geometric_fusion.py:134-136), a deterministic spatial scramble
+    # absorbed by training. Required for reference geometric_fusion
+    # .pth parity; off for natively trained models (clean layout).
+    geometric_reference_view: bool = False
     use_target_point_image: bool = True
     gru_concat_target_point: bool = True
     gru_hidden_size: int = 64

@@ -30,6 +30,18 @@ from .encoders import make_encoder
 Dtype = Any
 
 
+def reference_grid_view(points: jnp.ndarray) -> jnp.ndarray:
+    """Replicate the reference model's consumption of its x-major
+    correspondence grids (ROADMAP quirk): the data writes G[x_cell,
+    y_cell] (data.py:636-637) and the model raw-views the buffer as
+    (h, w) (geometric_fusion.py:134-136) — a deterministic spatial
+    scramble the reference's training absorbs. Our data pipeline stores
+    the clean (h, w) layout, so reproducing the reference graph =
+    transpose back to x-major memory order, then re-view as (h, w)."""
+    b, h, w, k, two = points.shape
+    return points.transpose(0, 2, 1, 3, 4).reshape(b, h, w, k, two)
+
+
 def gather_correspondences(grid: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """grid (B,H,W,C); points (B,h,w,5,2) int (x,y) into grid -> (B,h,w,C)
     sum over the 5 sampled correspondences."""
@@ -115,6 +127,10 @@ class GeometricFusionBackbone(nn.Module):
         x_lid = lidar_bev.astype(self.dtype)
         x_img = self.image_encoder.stem(x_img, train)
         x_lid = self.lidar_encoder.stem(x_lid, train)
+
+        if mcfg.geometric_reference_view:
+            bev_points = reference_grid_view(bev_points)
+            cam_points = reference_grid_view(cam_points)
 
         for i in range(4):
             x_img = self.image_encoder.stage(i, x_img, train)
