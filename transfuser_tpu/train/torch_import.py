@@ -330,25 +330,117 @@ def convert_transfuser_backbone_statedict(
     return params, stats
 
 
+def convert_late_fusion_backbone_statedict(
+        state: Mapping[str, np.ndarray], image_architecture: str,
+        lidar_architecture: str) -> Tuple[Dict, Dict]:
+    """Reference LateFusionBackbone (late_fusion.py:5-111) -> our
+    models.late_fusion.LateFusionBackbone params/batch_stats."""
+    params: Dict = {}
+    stats: Dict = {}
+    p, s = encoder_converter(image_architecture)(
+        _sub_state(state, "image_encoder.features."))
+    params["image_encoder"], stats["image_encoder"] = p, s
+    p, s = encoder_converter(lidar_architecture)(
+        _sub_state(state, "lidar_encoder._model."))
+    params["lidar_encoder"], stats["lidar_encoder"] = p, s
+    for src, dst in (("reduce_channels_conv_image",
+                      "reduce_channels_conv_image"),
+                     ("reduce_channels_conv_lidar",
+                      "reduce_channels_conv_lidar")):
+        if f"{src}.weight" in state:
+            _put_conv(params, state, src, (dst,))
+    for src, dst in (("norm_after_pool_img", "norm_after_pool_img"),
+                     ("norm_after_pool_lidar", "norm_after_pool_lidar")):
+        if f"{src}.weight" in state:  # LayerNorm, convnext trunks only
+            _set(params, (dst, "scale"), state[f"{src}.weight"])
+            _set(params, (dst, "bias"), state[f"{src}.bias"])
+    if "vel_emb.weight" in state:
+        _put_linear(params, state, "vel_emb", ("vel_emb",))
+    for name in ("c5_conv", "up_conv5", "up_conv4", "up_conv3"):
+        _put_conv(params, state, name, ("top_down", name))
+    return params, stats
+
+
+def convert_latent_tf_backbone_statedict(
+        state: Mapping[str, np.ndarray], image_architecture: str,
+        lidar_architecture: str) -> Tuple[Dict, Dict]:
+    """Reference latentTFBackbone (latentTF.py:8-218): module names are
+    identical to TransfuserBackbone (its GPT is a verbatim class copy),
+    and our LatentTFBackbone nests a TransfuserBackbone as 'inner'."""
+    p, s = convert_transfuser_backbone_statedict(
+        state, image_architecture, lidar_architecture)
+    return {"inner": p}, {"inner": s}
+
+
+def convert_geometric_fusion_backbone_statedict(
+        state: Mapping[str, np.ndarray], image_architecture: str,
+        lidar_architecture: str) -> Tuple[Dict, Dict]:
+    """Reference GeometricFusionBackbone (geometric_fusion.py:6-91) ->
+    our models.geometric_fusion.GeometricFusionBackbone."""
+    params: Dict = {}
+    stats: Dict = {}
+    p, s = encoder_converter(image_architecture)(
+        _sub_state(state, "image_encoder.features."))
+    params["image_encoder"], stats["image_encoder"] = p, s
+    p, s = encoder_converter(lidar_architecture)(
+        _sub_state(state, "lidar_encoder._model."))
+    params["lidar_encoder"], stats["lidar_encoder"] = p, s
+    for i in range(4):
+        for src, dst in ((f"image_conv{i + 1}", f"image_convs_{i}"),
+                         (f"image_deconv{i + 1}", f"image_deconvs_{i}"),
+                         (f"lidar_conv{i + 1}", f"lidar_convs_{i}"),
+                         (f"lidar_deconv{i + 1}", f"lidar_deconvs_{i}")):
+            _put_conv(params, state, src, (dst,))
+        for src, dst in ((f"image_projection{i + 1}",
+                          f"image_projections_{i}"),
+                         (f"lidar_projection{i + 1}",
+                          f"lidar_projections_{i}")):
+            # Sequential(Linear, ReLU)*3 -> _ProjectionMLP fc0..fc2
+            for j, seq in enumerate((0, 2, 4)):
+                _put_linear(params, state, f"{src}.{seq}",
+                            (dst, f"fc{j}"))
+        if f"vel_emb{i + 1}.weight" in state:
+            _put_linear(params, state, f"vel_emb{i + 1}",
+                        (f"vel_embs_{i}",))
+    if "change_channel_conv_image.weight" in state:
+        _put_conv(params, state, "change_channel_conv_image",
+                  ("change_channel_conv_image",))
+        _put_conv(params, state, "change_channel_conv_lidar",
+                  ("change_channel_conv_lidar",))
+    for name in ("c5_conv", "up_conv5", "up_conv4", "up_conv3"):
+        _put_conv(params, state, name, ("top_down", name))
+    return params, stats
+
+
+_BACKBONE_CONVERTERS = {
+    "transFuser": convert_transfuser_backbone_statedict,
+    "late_fusion": convert_late_fusion_backbone_statedict,
+    "latentTF": convert_latent_tf_backbone_statedict,
+    "geometric_fusion": convert_geometric_fusion_backbone_statedict,
+}
+
+
 def convert_lidar_centernet_statedict(state: Mapping[str, Any],
                                       config: Any) -> Dict[str, Dict]:
     """Full reference ``model_*.pth`` state dict (LidarCenterNet,
     model.py:538-609) -> flax variables {'params', 'batch_stats'} for
     models.lidar_centernet.LidarCenterNet.
 
-    Covers backbone (transFuser), seg/depth decoders, pred_bev convs, the
+    Covers all four backbones (transFuser / late_fusion / latentTF /
+    geometric_fusion), seg/depth decoders, pred_bev convs, the
     7-branch CenterNet head (model.py:70-99), the join MLP + GRUCell + output
     (model.py:592-609). PID controller state (not parameters) is ignored.
     """
     state = {k: _to_numpy(v) for k, v in strip_ddp_prefix(state).items()}
     mcfg = config.model
-    if mcfg.backbone != "transFuser":
+    if mcfg.backbone not in _BACKBONE_CONVERTERS:
         raise NotImplementedError(
-            f"checkpoint import implemented for transFuser; got {mcfg.backbone}")
+            f"checkpoint import implemented for "
+            f"{sorted(_BACKBONE_CONVERTERS)}; got {mcfg.backbone}")
 
     params: Dict = {}
     stats: Dict = {}
-    p, s = convert_transfuser_backbone_statedict(
+    p, s = _BACKBONE_CONVERTERS[mcfg.backbone](
         _sub_state(state, "_model."), mcfg.image_architecture,
         mcfg.lidar_architecture)
     params["backbone"], stats["backbone"] = p, s
