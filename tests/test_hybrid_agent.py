@@ -112,3 +112,64 @@ def test_agent_action_repeat_and_buffers(tmp_path):
     assert controls[0].steer == controls[1].steer
     assert controls[0].throttle == controls[1].throttle
     assert len(agent.gps_buffer) == 4
+
+
+def test_agent_geometric_correspondence_wiring(tmp_path, monkeypatch):
+    """For the geometric family the agent computes per-frame lidar<->cam
+    correspondence grids (submission_agent.py:302-312) and passes them to
+    the ensemble forward; grid shapes match the default anchors."""
+    import dataclasses
+
+    from transfuser_tpu.agents.hybrid_agent import HybridAgent
+    from transfuser_tpu.config import GlobalConfig
+    from transfuser_tpu.harness.evaluator import default_sensor_feeder
+    from transfuser_tpu.harness.route_parser import (RoadOption,
+                                                     location_route_to_gps)
+    from transfuser_tpu.sim.replay import ReplaySimulation
+    from transfuser_tpu.sim.types import Location, Transform
+    from transfuser_tpu.train.checkpoint import save_config_snapshot
+
+    # full-size geometric snapshot (anchor geometry is the reference's);
+    # stub the ensemble build to avoid the full-size compile
+    cfg = GlobalConfig()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                backbone="geometric_fusion"))
+    model_dir = str(tmp_path / "geo")
+    os.makedirs(model_dir, exist_ok=True)
+    save_config_snapshot(model_dir, cfg)
+
+    captured = {}
+
+    def stub_build(self, weight_files):
+        self.model_count = 1
+        g = self.config.model.gpt
+
+        def fake_forward(rgb, lidar, tp, tpi, speed, bev_points,
+                         cam_points):
+            captured["bev"] = np.asarray(bev_points).shape
+            captured["cam"] = np.asarray(cam_points).shape
+            k = self.config.model.centernet.top_k_center_keypoints
+            return (jnp.zeros((1, 1, 4, 2)), jnp.zeros((1, 1, k, 8)),
+                    jnp.zeros((1, 1, k), jnp.int32))
+        self._forward = fake_forward
+
+    monkeypatch.setattr(HybridAgent, "_build_ensemble", stub_build)
+    agent = HybridAgent(model_dir)
+    assert agent.backbone == "geometric_fusion"
+
+    traj = [Transform(Location(float(x), 0.0)) for x in range(0, 100, 10)]
+    plan = location_route_to_gps([(t, RoadOption.LANEFOLLOW) for t in traj])
+    agent.set_global_plan(plan, [(t, RoadOption.LANEFOLLOW) for t in traj])
+    for spec in agent.sensors():
+        agent.sensor_interface.register_sensor(spec["id"], spec["type"])
+    sim = ReplaySimulation(traj, fps=20)
+    for _ in range(2):
+        default_sensor_feeder(sim, agent)
+        agent(sim.game_time)
+        sim.tick()
+
+    g = cfg.model.gpt
+    assert captured["bev"] == (1, g.lidar_vert_anchors,
+                               g.lidar_horz_anchors, 5, 2)
+    assert captured["cam"] == (1, g.img_vert_anchors,
+                               g.img_horz_anchors, 5, 2)

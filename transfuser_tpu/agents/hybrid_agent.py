@@ -63,6 +63,8 @@ class HybridAgent(AutonomousAgent):
             self.config = GlobalConfig()
             weight_files = []
 
+        import dataclasses
+
         n_pth = sum(p.endswith(".pth") for p in weight_files)
         if n_pth and not self.config.model.gpt.reference_view_unpack:
             # Reference torch checkpoints carry the GPT token-unpack view
@@ -76,18 +78,21 @@ class HybridAgent(AutonomousAgent):
                     "the GPT view-unpack quirk) with natively trained "
                     "members (which don't): split them into separate "
                     f"model dirs ({path_to_conf_file})")
-            import dataclasses
             gpt = dataclasses.replace(self.config.model.gpt,
                                       reference_view_unpack=True)
-            self.config = self.config.replace(model=dataclasses.replace(
-                self.config.model, gpt=gpt))
+            model = dataclasses.replace(self.config.model, gpt=gpt)
+            if model.backbone == "geometric_fusion":
+                # same reasoning for the geometric correspondence-grid
+                # consumption quirk (models/geometric_fusion.py)
+                model = dataclasses.replace(
+                    model, geometric_reference_view=True)
+            self.config = self.config.replace(model=model)
 
         # inference always uses the measured-fastest grouped-conv
         # lowering: param trees and numerics are identical across
         # lowerings (tests/test_perf_knobs.py), so the training
         # snapshot's choice need not constrain the agent
-        import dataclasses as _dc
-        self.config = self.config.replace(model=_dc.replace(
+        self.config = self.config.replace(model=dataclasses.replace(
             self.config.model, group_lowering="auto"))
 
         cfg = self.config
@@ -117,9 +122,21 @@ class HybridAgent(AutonomousAgent):
         cfg = self.config
         from ..data.synthetic import synthetic_batch
         example = synthetic_batch(cfg, 1)
+        # geometric fusion consumes per-frame lidar<->camera
+        # correspondence grids (submission_agent.py:302-312 computes
+        # them from the raw cloud at every inference frame)
+        geometric = cfg.model.backbone == "geometric_fusion"
+
+        def extras(b):
+            if not geometric:
+                return {}
+            return dict(bev_points=b["bev_points"],
+                        cam_points=b["cam_points"])
+
         init_fn = jax.jit(lambda rngs, b: self.model.init(
             rngs, b["rgb"], b["lidar"], b["target_point"],
-            b["target_point_image"], b["speed"], train=False))
+            b["target_point_image"], b["speed"], train=False,
+            **extras(b)))
         template = init_fn(
             {"params": jax.random.PRNGKey(0),
              "dropout": jax.random.PRNGKey(1)}, example)
@@ -138,12 +155,21 @@ class HybridAgent(AutonomousAgent):
         self.model_count = len(members)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
 
-        def single_forward(variables, rgb, lidar, tp, tpi, speed):
-            return self.model.apply(variables, rgb, lidar, tp, tpi, speed,
-                                    method="forward_ego")
+        if geometric:
+            def single_forward(variables, rgb, lidar, tp, tpi, speed,
+                               bev_points, cam_points):
+                return self.model.apply(
+                    variables, rgb, lidar, tp, tpi, speed,
+                    bev_points=bev_points, cam_points=cam_points,
+                    method="forward_ego")
+            axes = (0, None, None, None, None, None, None, None)
+        else:
+            def single_forward(variables, rgb, lidar, tp, tpi, speed):
+                return self.model.apply(variables, rgb, lidar, tp, tpi,
+                                        speed, method="forward_ego")
+            axes = (0, None, None, None, None, None)
 
-        ensemble_forward = jax.jit(jax.vmap(
-            single_forward, in_axes=(0, None, None, None, None, None)))
+        ensemble_forward = jax.jit(jax.vmap(single_forward, in_axes=axes))
         # params enter as an argument (closure-captured arrays would be
         # baked into the HLO as constants and explode compile time).
         self._stacked = stacked
@@ -272,10 +298,18 @@ class HybridAgent(AutonomousAgent):
             is_stuck = True
             self.forced_move += 1
 
-        wp, boxes, labels = self._forward(
-            jnp.asarray(rgb), jnp.asarray(lidar_bev),
-            jnp.asarray(target_point), jnp.asarray(tp_image),
-            jnp.asarray(speed))
+        fwd_args = [jnp.asarray(rgb), jnp.asarray(lidar_bev),
+                    jnp.asarray(target_point), jnp.asarray(tp_image),
+                    jnp.asarray(speed)]
+        if self.backbone == "geometric_fusion":
+            # per-frame correspondence grids from the raw cloud
+            # (submission_agent.py:302-312)
+            from ..data.correspondences import lidar_cam_correspondences
+            bev_pts, cam_pts = lidar_cam_correspondences(
+                tick_data["lidar"][:, :3])
+            fwd_args += [jnp.asarray(bev_pts[None]),
+                         jnp.asarray(cam_pts[None])]
+        wp, boxes, labels = self._forward(*fwd_args)
         wp = np.asarray(wp)            # (n_models, 1, 4, 2)
         boxes = np.asarray(boxes)      # (n_models, 1, k, 8)
 
