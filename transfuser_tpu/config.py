@@ -173,6 +173,10 @@ class LossConfig:
         1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 0.2, 0.2, 0.2, 0.0, 0.0,
     )
     bev_class_weights: Tuple[float, ...] = (1.0, 1.0, 3.0)  # model.py:762
+    # Replicate the reference's cross-batch CE weight broadcast for
+    # yaw-class/brake losses (mmdet (B,H,W)x(B,1,H,W) -> (B,B,H,W);
+    # see ops/centernet.weighted_ce_loss). Off = sane per-sample weighting.
+    reference_ce_batch_broadcast: bool = False
 
     def weight_of(self, name: str) -> float:
         return self.detailed_losses_weights[self.detailed_losses.index(name)]

@@ -206,7 +206,8 @@ class ConvBN(nn.Module):
                         feature_group_count=self.groups, use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
+                         epsilon=1e-5,
+                         dtype=jnp.promote_types(self.dtype, jnp.float32),
                          param_dtype=jnp.float32)(x)
         x = x.astype(self.dtype)
         if self.act:
@@ -366,8 +367,10 @@ class ResNet(nn.Module):
         self._conv1 = nn.Conv(64, (7, 7), strides=(2, 2),
                               padding=((3, 3), (3, 3)), use_bias=False,
                               dtype=self.dtype, param_dtype=jnp.float32)
-        self._bn1 = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                                 dtype=jnp.float32, param_dtype=jnp.float32)
+        self._bn1 = nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5,
+            dtype=jnp.promote_types(self.dtype, jnp.float32),
+            param_dtype=jnp.float32)
         blocks = []
         in_chs = 64
         for si, (d, w) in enumerate(zip(self.depths, self.widths)):
@@ -412,7 +415,8 @@ class ConvNeXtBlock(nn.Module):
         x = nn.Conv(self.dim, (7, 7), padding=((3, 3), (3, 3)),
                     feature_group_count=self.dim, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+        x = nn.LayerNorm(epsilon=1e-6,
+                         dtype=jnp.promote_types(self.dtype, jnp.float32),
                          param_dtype=jnp.float32)(x).astype(self.dtype)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.gelu(x, approximate=False)

@@ -18,6 +18,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dtypes import acc_dtype
+
 Dtype = Any
 
 
@@ -53,9 +55,10 @@ class SelfAttention(nn.Module):
         v = v.reshape(b, t, self.n_head, hs)
         if train and self.attn_pdrop > 0.0:
             # training path keeps explicit probs for attention dropout
+            acc = acc_dtype(self.dtype)
             att = jnp.einsum("bthd,bshd->bhts", q, k,
-                             preferred_element_type=jnp.float32)
-            att = att * (1.0 / jnp.sqrt(jnp.asarray(hs, jnp.float32)))
+                             preferred_element_type=acc)
+            att = att * (1.0 / jnp.sqrt(jnp.asarray(hs, acc)))
             att = nn.softmax(att, axis=-1).astype(self.dtype)
             att = nn.Dropout(self.attn_pdrop, deterministic=False)(att)
             y = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, c)
@@ -77,12 +80,14 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=1e-5, dtype=acc_dtype(self.dtype),
+                         param_dtype=jnp.float32,
                          name="ln1")(x).astype(self.dtype)
         x = x + SelfAttention(self.n_embd, self.n_head, self.attn_pdrop,
                               self.resid_pdrop, self.init_std,
                               dtype=self.dtype, name="attn")(h, train)
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=1e-5, dtype=acc_dtype(self.dtype),
+                         param_dtype=jnp.float32,
                          name="ln2")(x).astype(self.dtype)
         h = _dense(self.block_exp * self.n_embd, self.init_std, self.dtype,
                    ("embed", "mlp"), "mlp_fc")(h)
@@ -150,7 +155,8 @@ class GPTFusion(nn.Module):
                           self.attn_pdrop, self.resid_pdrop, self.init_std,
                           dtype=self.dtype, name=f"block_{i}")(x, train)
 
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+        x = nn.LayerNorm(epsilon=1e-5, dtype=acc_dtype(self.dtype),
+                         param_dtype=jnp.float32,
                          name="ln_f")(x).astype(self.dtype)
 
         if self.reference_view_unpack:

@@ -14,6 +14,8 @@ from typing import Any, Dict
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dtypes import at_least_f32
+
 Dtype = Any
 
 
@@ -71,12 +73,13 @@ class LidarCenterNetHead(nn.Module):
                            name="velocity")(feat)
         brake = _Branch(self.feat_channel, 2, dtype=self.dtype,
                         name="brake")(feat)
+        up = at_least_f32
         return {
-            "heatmap": nn.sigmoid(heatmap.astype(jnp.float32)),
-            "wh": wh.astype(jnp.float32),
-            "offset": offset.astype(jnp.float32),
-            "yaw_class": yaw_class.astype(jnp.float32),
-            "yaw_res": yaw_res.astype(jnp.float32),
-            "velocity": velocity.astype(jnp.float32),
-            "brake": brake.astype(jnp.float32),
+            "heatmap": nn.sigmoid(up(heatmap)),
+            "wh": up(wh),
+            "offset": up(offset),
+            "yaw_class": up(yaw_class),
+            "yaw_res": up(yaw_res),
+            "velocity": up(velocity),
+            "brake": up(brake),
         }

@@ -45,10 +45,14 @@ class LateFusionBackbone(nn.Module):
             self.reduce_channels_conv_lidar = None
         if self._img_is_convnext:
             self.norm_after_pool_img = nn.LayerNorm(
-                epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32)
+                epsilon=1e-6, dtype=jnp.promote_types(self.dtype,
+                                                      jnp.float32),
+                param_dtype=jnp.float32)
         if self._lid_is_convnext:
             self.norm_after_pool_lidar = nn.LayerNorm(
-                epsilon=1e-6, dtype=jnp.float32, param_dtype=jnp.float32)
+                epsilon=1e-6, dtype=jnp.promote_types(self.dtype,
+                                                      jnp.float32),
+                param_dtype=jnp.float32)
         if mcfg.use_velocity:
             self.vel_emb = nn.Dense(feats, dtype=self.dtype,
                                     param_dtype=jnp.float32)

@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from ..config import GlobalConfig
 from ..ops import centernet as cn
+from ..ops.dtypes import acc_dtype, at_least_f32
 from ..ops.image_ops import resize_bilinear
 from .decoders import DepthDecoder, SegDecoder
 from .heads import LidarCenterNetHead
@@ -86,7 +87,8 @@ class LidarCenterNet(nn.Module):
         self.wp_gru = WaypointGRU(
             pred_len=mcfg.pred_len, hidden_size=mcfg.gru_hidden_size,
             concat_target_point=mcfg.gru_concat_target_point,
-            lidar_pos_x=cfg.sensors.lidar_pos[0])
+            lidar_pos_x=cfg.sensors.lidar_pos[0],
+            dtype=acc_dtype(self.dtype))
         if mcfg.point_pillars.use_point_pillars:
             from .point_pillar import PointPillarNet
             self.point_pillar_net = PointPillarNet(
@@ -134,7 +136,7 @@ class LidarCenterNet(nn.Module):
             pyramid, image_grid, fused = self._backbone(
                 rgb, lidar, velocity, train)
 
-        pred_wp = self.wp_gru(fused.astype(jnp.float32), target_point)
+        pred_wp = self.wp_gru(at_least_f32(fused), target_point)
 
         head_preds = self.head(pyramid[0])
         out: Dict[str, jnp.ndarray] = {

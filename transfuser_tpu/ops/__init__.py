@@ -1,1 +1,1 @@
-from . import centernet, image_ops  # noqa: F401
+from . import centernet, dtypes, image_ops  # noqa: F401

@@ -34,9 +34,10 @@ def reference_attention(q: jnp.ndarray, k: jnp.ndarray,
                         v: jnp.ndarray) -> jnp.ndarray:
     """(B, T, H, D) einsum attention (the XLA-fused fallback)."""
     d = q.shape[-1]
+    acc = jnp.promote_types(q.dtype, jnp.float32)
     att = jnp.einsum("bthd,bshd->bhts", q, k,
-                     preferred_element_type=jnp.float32)
-    att = att * (1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32)))
+                     preferred_element_type=acc)
+    att = att * (1.0 / jnp.sqrt(jnp.asarray(d, acc)))
     att = jax.nn.softmax(att, axis=-1).astype(q.dtype)
     return jnp.einsum("bhts,bshd->bthd", att, v)
 

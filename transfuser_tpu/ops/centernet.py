@@ -110,6 +110,7 @@ def build_targets(labels: jnp.ndarray, valid: jnp.ndarray, feat_hw: Tuple[int, i
 
     # NOTE: reference scales BOTH center coords by width_ratio
     # (model.py:330-331); kept for parity (grids are square anyway).
+    fdt = jnp.promote_types(labels.dtype, jnp.float32)
     ctx = labels[..., 0] * width_ratio
     cty = labels[..., 1] * width_ratio
     ctx_int = jnp.trunc(ctx).astype(jnp.int32)
@@ -118,14 +119,14 @@ def build_targets(labels: jnp.ndarray, valid: jnp.ndarray, feat_hw: Tuple[int, i
     scale_h = labels[..., 3] * height_ratio
 
     radius = gaussian_radius(scale_h, scale_w, min_overlap)
-    radius = jnp.maximum(float(min_radius), jnp.trunc(radius)).astype(jnp.float32)
+    radius = jnp.maximum(float(min_radius), jnp.trunc(radius)).astype(fdt)
     sigma = (2.0 * radius + 1.0) / 6.0
 
     # Heatmap: max over per-box gaussians restricted to the (2r+1) window.
-    ys = jnp.arange(feat_h, dtype=jnp.float32)
-    xs = jnp.arange(feat_w, dtype=jnp.float32)
-    dy = ys[None, None, :] - cty_int[..., None].astype(jnp.float32)   # (B,K,H)
-    dx = xs[None, None, :] - ctx_int[..., None].astype(jnp.float32)   # (B,K,W)
+    ys = jnp.arange(feat_h, dtype=fdt)
+    xs = jnp.arange(feat_w, dtype=fdt)
+    dy = ys[None, None, :] - cty_int[..., None].astype(fdt)   # (B,K,H)
+    dx = xs[None, None, :] - ctx_int[..., None].astype(fdt)   # (B,K,W)
     g = jnp.exp(-(dy[..., :, None] ** 2 + dx[..., None, :] ** 2)
                 / (2.0 * sigma[..., None, None] ** 2))                # (B,K,H,W)
     window = (jnp.abs(dy[..., :, None]) <= radius[..., None, None]) & \
@@ -134,7 +135,7 @@ def build_targets(labels: jnp.ndarray, valid: jnp.ndarray, feat_hw: Tuple[int, i
     heatmap = g.max(axis=1)[..., None]                                # (B,H,W,1)
 
     # Point targets: sequential scatter so later boxes overwrite earlier.
-    zeros_f = jnp.zeros((bsz, feat_h, feat_w), jnp.float32)
+    zeros_f = jnp.zeros((bsz, feat_h, feat_w), fdt)
     zeros_i = jnp.zeros((bsz, feat_h, feat_w), jnp.int32)
     yaw_cls_all, yaw_res_all = angle_to_class(labels[..., 4], num_dir_bins)
 
@@ -158,8 +159,8 @@ def build_targets(labels: jnp.ndarray, valid: jnp.ndarray, feat_hw: Tuple[int, i
         return dict(
             wh_w=put(t["wh_w"], scale_w[:, j]),
             wh_h=put(t["wh_h"], scale_h[:, j]),
-            off_x=put(t["off_x"], ctx[:, j] - ctx_int[:, j].astype(jnp.float32)),
-            off_y=put(t["off_y"], cty[:, j] - cty_int[:, j].astype(jnp.float32)),
+            off_x=put(t["off_x"], ctx[:, j] - ctx_int[:, j].astype(fdt)),
+            off_y=put(t["off_y"], cty[:, j] - cty_int[:, j].astype(fdt)),
             yaw_class=put(t["yaw_class"], yaw_cls_all[:, j]),
             yaw_res=put(t["yaw_res"], yaw_res_all[:, j]),
             velocity=put(t["velocity"], labels[:, j, 5]),
@@ -169,7 +170,7 @@ def build_targets(labels: jnp.ndarray, valid: jnp.ndarray, feat_hw: Tuple[int, i
 
     t = jax.lax.fori_loop(0, k, write, init)
 
-    avg_factor = jnp.maximum(1.0, (heatmap == 1.0).sum().astype(jnp.float32))
+    avg_factor = jnp.maximum(1.0, (heatmap == 1.0).sum().astype(fdt))
     return CenterNetTargets(
         heatmap=heatmap,
         wh=jnp.stack([t["wh_w"], t["wh_h"]], axis=-1),
@@ -270,13 +271,27 @@ def weighted_smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
 
 
 def weighted_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
-                     weight: jnp.ndarray, avg_factor: jnp.ndarray) -> jnp.ndarray:
-    """logits (..., C), integer labels (...), elementwise weight (...).
+                     weight: jnp.ndarray, avg_factor: jnp.ndarray,
+                     batch_broadcast: bool = False) -> jnp.ndarray:
+    """logits (B, H, W, C), integer labels (B, H, W), weight (B, H, W).
     One-hot contraction (dense) instead of a label gather — see
-    cross_entropy_mean."""
-    lg = logits.astype(jnp.float32)
+    cross_entropy_mean.
+
+    batch_broadcast replicates the reference's yaw-class/brake CE exactly:
+    mmdet's CrossEntropyLoss multiplies the (B,H,W) loss map by the
+    (B,1,H,W) weight the head passes (model.py:222-248), which torch
+    broadcasts to (B,B,H,W) — every sample's loss map is weighted by EVERY
+    sample's center mask before the sum. Verified against the real
+    reference head in tests/test_reference_oracle.py; equal to the sane
+    per-sample form at batch 1. Default False (per-sample) for
+    from-scratch training; enable for reference loss-trajectory parity.
+    """
+    lg = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     onehot = jax.nn.one_hot(labels, lg.shape[-1], dtype=lg.dtype)
     nll = jax.nn.logsumexp(lg, axis=-1) - jnp.sum(lg * onehot, axis=-1)
+    if batch_broadcast:
+        # sum_{i,j,h,w} nll[j,h,w] w[i,h,w] = sum_hw (sum_j nll)(sum_i w)
+        return (nll.sum(axis=0) * weight.sum(axis=0)).sum() / avg_factor
     return (nll * weight).sum() / avg_factor
 
 
@@ -290,7 +305,7 @@ def cross_entropy_mean(logits: jnp.ndarray, labels: jnp.ndarray,
     fwd/bwd; the one-hot dot is dense VPU math with a dense gradient
     (measured on v5e, PERF_NOTES).
     """
-    lg = logits.astype(jnp.float32)
+    lg = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     onehot = jax.nn.one_hot(labels, lg.shape[-1], dtype=lg.dtype)
     nll = jax.nn.logsumexp(lg, axis=-1) - jnp.sum(lg * onehot, axis=-1)
     if class_weights is None:

@@ -59,17 +59,18 @@ def max_pool(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp.ndar
     )
 
 
-def _linear_weights(in_size: int, out_size: int, align_corners: bool):
+def _linear_weights(in_size: int, out_size: int, align_corners: bool,
+                    dtype=jnp.float32):
     if align_corners and out_size > 1:
-        src = jnp.arange(out_size, dtype=jnp.float32) * (
+        src = jnp.arange(out_size, dtype=dtype) * (
             (in_size - 1) / (out_size - 1))
     else:
         scale = in_size / out_size
-        src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+        src = (jnp.arange(out_size, dtype=dtype) + 0.5) * scale - 0.5
         src = jnp.clip(src, 0.0, in_size - 1)
     lo = jnp.floor(src).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, in_size - 1)
-    frac = src - lo.astype(jnp.float32)
+    frac = src - lo.astype(dtype)
     return lo, hi, frac
 
 
@@ -86,8 +87,11 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
         return x
     if not align_corners:
         return jax.image.resize(x, (n, oh, ow, c), method="linear")
-    ylo, yhi, yfrac = _linear_weights(h, oh, True)
-    xlo, xhi, xfrac = _linear_weights(w, ow, True)
+    wdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.float32
+    wdtype = jnp.promote_types(wdtype, jnp.float32)
+    ylo, yhi, yfrac = _linear_weights(h, oh, True, wdtype)
+    xlo, xhi, xfrac = _linear_weights(w, ow, True, wdtype)
     top = x[:, ylo, :, :] * (1 - yfrac)[None, :, None, None] + \
         x[:, yhi, :, :] * yfrac[None, :, None, None]
     out = top[:, :, xlo, :] * (1 - xfrac)[None, None, :, None] + \

@@ -60,21 +60,25 @@ def compute_losses(outputs: Dict[str, jnp.ndarray],
         loss_weight=cnc.loss_wh_weight)
     losses["loss_offset"] = cn.weighted_l1_loss(
         outputs["head_offset"], t.offset, w2, af * 2.0)
+    ce_bb = cfg.loss.reference_ce_batch_broadcast
     losses["loss_yaw_class"] = cn.weighted_ce_loss(
-        outputs["head_yaw_class"], t.yaw_class, t.weight, af)
+        outputs["head_yaw_class"], t.yaw_class, t.weight, af,
+        batch_broadcast=ce_bb)
     losses["loss_yaw_res"] = cn.weighted_smooth_l1_loss(
         outputs["head_yaw_res"][..., 0], t.yaw_res, t.weight, af)
     losses["loss_velocity"] = cn.weighted_l1_loss(
         outputs["head_velocity"][..., 0], t.velocity, t.weight, af)
     losses["loss_brake"] = cn.weighted_ce_loss(
-        outputs["head_brake"], t.brake, t.weight, af)
+        outputs["head_brake"], t.brake, t.weight, af,
+        batch_broadcast=ce_bb)
 
     # Multitask aux losses (model.py:780-793).
     if cfg.model.multitask:
         losses["loss_semantic"] = cfg.loss.ls_seg * cn.cross_entropy_mean(
             outputs["pred_semantic"], batch["semantic"].astype(jnp.int32))
+        pd = outputs["pred_depth"]
         losses["loss_depth"] = cfg.loss.ls_depth * jnp.mean(
-            jnp.abs(outputs["pred_depth"].astype(jnp.float32)
+            jnp.abs(pd.astype(jnp.promote_types(pd.dtype, jnp.float32))
                     - batch["depth"]))
     else:
         zero = jnp.zeros_like(losses["loss_wp"])

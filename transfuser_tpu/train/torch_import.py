@@ -146,7 +146,13 @@ def convert_regnety_statedict(state: Mapping[str, Any]
         _set(stats, dst + ("BatchNorm_0", "var"),
              state[f"{src_bn}.running_var"])
 
-    put_convbn("stem.conv", "stem.bn", ("_stem",))
+    # Image branches keep the timm stem (stem.conv aliased as conv1,
+    # transfuser.py:384); the LidarEncoder DELETES stem.conv and registers
+    # the replacement in-channel conv as top-level `conv1`
+    # (transfuser.py:478-488), so real reference checkpoints carry
+    # `conv1.weight` + `stem.bn.*` with no `stem.conv.*` on that branch.
+    stem_conv = "stem.conv" if "stem.conv.weight" in state else "conv1"
+    put_convbn(stem_conv, "stem.bn", ("_stem",))
 
     block_re = re.compile(r"s(\d+)\.b(\d+)\.")
     blocks = sorted({(int(m.group(1)) - 1, int(m.group(2)) - 1)
@@ -180,8 +186,14 @@ def convert_convnext_statedict(state: Mapping[str, Any]
     params: Dict = {}
     state = {k: _to_numpy(v) for k, v in strip_ddp_prefix(state).items()}
 
-    _set(params, ("_stem_conv", "kernel"), convert_conv(state["stem.0.weight"]))
-    _set(params, ("_stem_conv", "bias"), state["stem.0.bias"])
+    # As with regnety: the reference LidarEncoder deletes stem._modules['0']
+    # and re-registers the in-channel conv as top-level `conv1`
+    # (transfuser.py:478-484), so lidar-branch checkpoints carry
+    # `conv1.weight/bias` instead of `stem.0.*`.
+    stem_conv = "stem.0" if "stem.0.weight" in state else "conv1"
+    _set(params, ("_stem_conv", "kernel"),
+         convert_conv(state[f"{stem_conv}.weight"]))
+    _set(params, ("_stem_conv", "bias"), state[f"{stem_conv}.bias"])
     _set(params, ("_stem_norm", "scale"), state["stem.1.weight"])
     _set(params, ("_stem_norm", "bias"), state["stem.1.bias"])
 
@@ -437,6 +449,21 @@ def convert_lidar_centernet_statedict(state: Mapping[str, Any],
         raise NotImplementedError(
             f"checkpoint import implemented for "
             f"{sorted(_BACKBONE_CONVERTERS)}; got {mcfg.backbone}")
+
+    # Guard against silent layer-count drift: flax apply IGNORES extra
+    # params, so loading a 4-layer reference checkpoint (train.py:56,120
+    # default) into an 8-layer-config model (reference config.py:177 class
+    # default) would silently drop blocks 4..7 and produce garbage.
+    # Found via tests/test_reference_oracle.py.
+    blk_re = re.compile(r"_model\.transformer1\.blocks\.(\d+)\.")
+    blocks = {int(m.group(1)) for k in state if (m := blk_re.match(k))}
+    if blocks:
+        ckpt_layers = 1 + max(blocks)
+        if ckpt_layers != mcfg.gpt.n_layer:
+            raise ValueError(
+                f"checkpoint GPT has {ckpt_layers} layers but "
+                f"config.model.gpt.n_layer={mcfg.gpt.n_layer}; set n_layer "
+                "to match the checkpoint (reference train.py trains with 4)")
 
     params: Dict = {}
     stats: Dict = {}
