@@ -209,3 +209,21 @@ def test_evaluator_resume(tmp_path):
     ev2.run()
     data = json.load(open(ckpt))
     assert len(data["_checkpoint"]["records"]) == 2
+
+
+def test_route_length_scaled_timeout(tmp_path):
+    """Per-route budget = 0.8 s/m + 5 s (route_scenario_local.py:52-53,
+    261-273) when no flat max_game_seconds cap is forced."""
+    from transfuser_tpu.harness.route_parser import RouteIndexer
+    from transfuser_tpu.harness.route_scenario import RouteScenario
+
+    routes = tmp_path / "routes.xml"
+    routes.write_text(ROUTES_XML)
+    indexer = RouteIndexer(str(routes), None, 1)
+    s0 = RouteScenario(indexer._configs[0])   # 160 m straight
+    s1 = RouteScenario(indexer._configs[1])   # 100 m straight
+    assert s0.route_length_m == pytest.approx(160.0, abs=2.0)
+    assert s1.route_length_m == pytest.approx(100.0, abs=2.0)
+    assert s0.timeout == int(0.8 * s0.route_length_m + 5.0)
+    assert s1.timeout == int(0.8 * s1.route_length_m + 5.0)
+    assert s0.timeout > s1.timeout

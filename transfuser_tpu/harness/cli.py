@@ -65,7 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                         default=int(os.environ.get("REPETITIONS", "1")),
                         type=int)
         sp.add_argument("--timeout", default=60.0, type=float)
-        sp.add_argument("--max-game-seconds", default=300.0, type=float)
+        sp.add_argument("--max-game-seconds", default=None, type=float,
+                        help="flat per-route cap; default scales "
+                             "0.8 s/m + 5 s with route length "
+                             "(route_scenario_local.py:52-53)")
         sp.add_argument("--background-vehicles", default=0, type=int)
         sp.add_argument("--town-map", default=os.environ.get("TOWN_MAP"),
                         help="procedural road network, e.g. 'grid', "

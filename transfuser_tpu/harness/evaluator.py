@@ -92,7 +92,9 @@ class EvaluatorArgs:
     repetitions: int = 1
     timeout: float = 60.0
     fps: int = 20
-    max_game_seconds: float = 300.0
+    # None = per-route budget 0.8 s/m + 5 s (route_scenario_local.py:52-53);
+    # a number forces a flat cap (tests).
+    max_game_seconds: Optional[float] = None
     background_vehicles: int = 0
     # "grid", "grid:<blocks>", "grid:<blocks>x<block_size>", or
     # "grid:<blocks>x<block_size>x<lanes_per_dir>": procedural road
@@ -173,9 +175,12 @@ class Evaluator:
             for spec in agent.sensors():
                 agent.sensor_interface.register_sensor(
                     spec["id"], spec["type"])
+            route_budget = (args.max_game_seconds
+                            if args.max_game_seconds is not None
+                            else scenario.timeout)
             manager = ScenarioManager(
                 timeout=args.timeout,
-                max_game_seconds=args.max_game_seconds)
+                max_game_seconds=route_budget)
             manager.load_scenario(scenario, agent, default_sensor_feeder)
             start_system = time.time()
             manager.run_scenario()
@@ -192,7 +197,7 @@ class Evaluator:
                     "FAILURE" if failed else "SUCCESS",
                     manager.duration_system, manager.duration_game,
                     scenario.criteria,
-                    timeout=args.max_game_seconds,
+                    timeout=route_budget,
                     start_system_time=start_system,
                     repetition=getattr(config, "repetition_index", 0))
             record = self.statistics.compute_route_statistics(

@@ -47,6 +47,17 @@ class RouteScenario:
 
     def __post_init__(self) -> None:
         self.dense_route = interpolate_trajectory(self.config.trajectory)
+        # Route-length-scaled evaluation budget
+        # (route_scenario_local.py:52-53,261-273): 0.8 s/m + 5 s. A flat
+        # cap penalized long routes as harness-artifact timeouts
+        # (VERDICT r2 Missing #3).
+        length = 0.0
+        prev = self.dense_route[0][0].location
+        for tf, _ in self.dense_route[1:]:
+            length += tf.location.distance(prev)
+            prev = tf.location
+        self.route_length_m = length
+        self.timeout = int(0.8 * length + 5.0)
         ids = downsample_route(self.dense_route, 50.0)
         sparse = [self.dense_route[i] for i in ids]
         self.global_plan_world = [(tf, opt) for tf, opt in sparse]

@@ -73,7 +73,7 @@ def _write_benchmark_scenarios(graph, path: str) -> int:
 def run_expert_benchmark(out_json: str, n_routes: int = 12,
                          town_spec: str = "grid:2x80x2",
                          background_vehicles: int = 20,
-                         max_game_seconds: float = 90.0,
+                         max_game_seconds: Optional[float] = None,
                          workdir: Optional[str] = None,
                          print_route_table: bool = False) -> dict:
     from ..agents.autopilot import AutoPilot
@@ -109,7 +109,8 @@ def main(argv=None) -> None:
     p.add_argument("--routes", type=int, default=12)
     p.add_argument("--town", default="grid:2x80x2")
     p.add_argument("--background", type=int, default=20)
-    p.add_argument("--max_game_seconds", type=float, default=90.0)
+    p.add_argument("--max_game_seconds", type=float, default=None,
+                   help="flat cap; default scales 0.8 s/m + 5 s per route")
     p.add_argument("--table", action="store_true",
                    help="print the per-route ANSI criteria tables")
     args = p.parse_args(argv)
