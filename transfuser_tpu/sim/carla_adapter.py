@@ -34,7 +34,8 @@ class CarlaSimulation:
 
     def __init__(self, host: str = "localhost", port: int = 2000,
                  town: str = "Town01", fps: int = 20,
-                 traffic_manager_port: int = 8000):
+                 traffic_manager_port: int = 8000, datagen: bool = False):
+        self.datagen = datagen
         if not carla_available():
             raise RuntimeError(
                 "carla egg not importable — install the CARLA 0.9.10 "
@@ -69,26 +70,69 @@ class CarlaSimulation:
         self.ego = self.world.spawn_actor(bp, self._to_carla_tf(transform))
 
     def attach_sensors(self, specs: List[Dict], callback) -> None:
-        """Spawn agent-declared sensors on the ego; callback(tag, data)."""
+        """Spawn agent-declared sensors on the ego; callback(tag, data).
+
+        Pins the leaderboard's fixed sensor attributes exactly
+        (agent_wrapper_local.py:108-184): camera lens effects off only for
+        datagen, lidar 85 m with the eval 10 Hz/600k vs datagen
+        spec-driven profile + dropoff stack, gnss/imu noise.
+        """
+        carla = self._carla
         lib = self.world.get_blueprint_library()
         for spec in specs:
             stype = spec["type"]
             if stype in ("sensor.speedometer", "sensor.opendrive_map"):
                 continue  # pseudo-sensors handled host-side
-            bp = lib.find(stype)
-            for attr in ("width", "height", "fov"):
-                if attr in spec and bp.has_attribute(f"image_size_x"):
-                    pass
-            if stype == "sensor.camera.rgb":
-                bp.set_attribute("image_size_x", str(spec.get("width", 800)))
-                bp.set_attribute("image_size_y", str(spec.get("height", 600)))
-                bp.set_attribute("fov", str(spec.get("fov", 90)))
-            tf = self._carla.Transform(
-                self._carla.Location(spec.get("x", 0.0), spec.get("y", 0.0),
-                                     spec.get("z", 0.0)),
-                self._carla.Rotation(spec.get("pitch", 0.0),
-                                     spec.get("yaw", 0.0),
-                                     spec.get("roll", 0.0)))
+            bp = lib.find(str(stype))
+            rotation = carla.Rotation(pitch=spec.get("pitch", 0.0),
+                                      roll=spec.get("roll", 0.0),
+                                      yaw=spec.get("yaw", 0.0))
+            if stype.startswith("sensor.camera"):
+                bp.set_attribute("image_size_x", str(spec["width"]))
+                bp.set_attribute("image_size_y", str(spec["height"]))
+                bp.set_attribute("fov", str(spec["fov"]))
+                if not self.datagen:
+                    bp.set_attribute("lens_circle_multiplier", str(3.0))
+                    bp.set_attribute("lens_circle_falloff", str(3.0))
+                if stype.startswith("sensor.camera.rgb"):
+                    bp.set_attribute("chromatic_aberration_intensity",
+                                     str(0.5))
+                    bp.set_attribute("chromatic_aberration_offset", str(0))
+            elif stype.startswith("sensor.lidar"):
+                bp.set_attribute("range", str(85))
+                if self.datagen:
+                    bp.set_attribute("rotation_frequency",
+                                     str(spec["rotation_frequency"]))
+                    bp.set_attribute("points_per_second",
+                                     str(spec["points_per_second"]))
+                else:
+                    bp.set_attribute("rotation_frequency", str(10))
+                    bp.set_attribute("points_per_second", str(600000))
+                bp.set_attribute("channels", str(64))
+                bp.set_attribute("upper_fov", str(10))
+                bp.set_attribute("atmosphere_attenuation_rate", str(0.004))
+                bp.set_attribute("dropoff_general_rate", str(0.45))
+                bp.set_attribute("dropoff_intensity_limit", str(0.8))
+                bp.set_attribute("dropoff_zero_intensity", str(0.4))
+            elif stype.startswith("sensor.other.gnss"):
+                if not self.datagen:
+                    bp.set_attribute("noise_alt_stddev", str(0.000005))
+                    bp.set_attribute("noise_lat_stddev", str(0.000005))
+                    bp.set_attribute("noise_lon_stddev", str(0.000005))
+                bp.set_attribute("noise_alt_bias", str(0.0))
+                bp.set_attribute("noise_lat_bias", str(0.0))
+                bp.set_attribute("noise_lon_bias", str(0.0))
+                rotation = carla.Rotation()  # agent_wrapper_local.py:169
+            elif stype.startswith("sensor.other.imu"):
+                bp.set_attribute("noise_accel_stddev_x", str(0.001))
+                bp.set_attribute("noise_accel_stddev_y", str(0.001))
+                bp.set_attribute("noise_accel_stddev_z", str(0.015))
+                bp.set_attribute("noise_gyro_stddev_x", str(0.001))
+                bp.set_attribute("noise_gyro_stddev_y", str(0.001))
+                bp.set_attribute("noise_gyro_stddev_z", str(0.001))
+            tf = carla.Transform(
+                carla.Location(x=spec.get("x", 0.0), y=spec.get("y", 0.0),
+                               z=spec.get("z", 0.0)), rotation)
             sensor = self.world.spawn_actor(bp, tf, attach_to=self.ego)
             tag = spec["id"]
             sensor.listen(lambda data, t=tag: callback(t, data))
