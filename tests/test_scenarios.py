@@ -130,3 +130,108 @@ def test_other_parameters_tune_behaviors():
     assert abs(walker.transform.location.x - 20.0) < 1e-6
     walker_default = behaviors[2].setup(None)[0]
     assert abs(walker_default.transform.location.x - 12.0) < 1e-6
+
+
+def _grid_route_cfg(scenario_type, trigger_xy, yaw=0.0, traj=None):
+    from transfuser_tpu.sim.town_map import LANE_WIDTH
+    y = 80.0 - LANE_WIDTH / 2.0
+    traj = traj or [Transform(Location(20.0, y), Rotation(yaw=0.0)),
+                    Transform(Location(140.0, y), Rotation(yaw=0.0))]
+    cfg = RouteConfig(name="RouteScenario_0", town="grid", index=0,
+                      trajectory=traj)
+    cfg.scenario_configs = [{
+        "scenario_type": scenario_type,
+        "trigger_position": Transform(Location(*trigger_xy),
+                                      Rotation(yaw=yaw)),
+        "other_parameters": {}}]
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def lane_town():
+    from transfuser_tpu.sim.town_map import grid_town
+    return grid_town(blocks=2, block_size=80.0, lights_at=[(1, 1)])
+
+
+def test_crossing_vehicle_rides_junction_connector(lane_town):
+    """Scenario7-10 adversaries must traverse the junction's actual
+    connector lanes (srunner no_signal_junction_crossing.py drives map
+    waypoints), not a straight ray through free space."""
+    from transfuser_tpu.sim.town_map import LANE_WIDTH
+    y = 80.0 - LANE_WIDTH / 2.0
+    scenario = RouteScenario(_grid_route_cfg("Scenario7", (55.0, y)),
+                             town_map=lane_town)
+    sim = scenario.sim
+    crossers = [a for a in sim.actors if a.type_id == "vehicle.crossing"]
+    assert len(crossers) == 1
+    v = crossers[0]
+    # spawned on a REAL perpendicular approach lane: on-road, yaw ~ +-90
+    assert lane_town.on_road(v.transform.location.x,
+                             v.transform.location.y, margin=0.6)
+    rel = abs((v.transform.rotation.yaw - 0.0 + 180.0) % 360.0 - 180.0)
+    assert 45.0 <= rel <= 135.0
+    # trigger and drive: the adversary must enter the junction area and
+    # stay on the road network the whole way through
+    sim.ego_transform = Transform(Location(50.0, y), Rotation(yaw=0.0))
+    entered_junction = False
+    for _ in range(200):
+        scenario.tick_criteria()
+        sim.tick()
+        x, yy = v.transform.location.x, v.transform.location.y
+        assert lane_town.on_road(x, yy, margin=0.8)
+        if lane_town.is_junction(x, yy):
+            entered_junction = True
+    assert entered_junction
+
+
+def test_lead_vehicle_follows_lane_chain(lane_town):
+    """Scenario2's lead rides the lane graph (curves included), staying
+    on the road network instead of extrapolating a straight ray."""
+    from transfuser_tpu.sim.town_map import LANE_WIDTH
+    y = 80.0 - LANE_WIDTH / 2.0
+    scenario = RouteScenario(_grid_route_cfg("Scenario2", (50.0, y)),
+                             town_map=lane_town)
+    sim = scenario.sim
+    leads = sim.actors_of_type("vehicle.lead")
+    assert len(leads) == 1
+    assert lane_town.on_road(leads[0].transform.location.x,
+                             leads[0].transform.location.y, margin=0.6)
+    sim.ego_transform = Transform(Location(45.0, y), Rotation(yaw=0.0))
+    p0 = (leads[0].transform.location.x, leads[0].transform.location.y)
+    for _ in range(150):
+        scenario.tick_criteria()
+        sim.tick()
+        assert lane_town.on_road(leads[0].transform.location.x,
+                                 leads[0].transform.location.y,
+                                 margin=0.8)
+    p1 = (leads[0].transform.location.x, leads[0].transform.location.y)
+    assert math.hypot(p1[0] - p0[0], p1[1] - p0[1]) > 3.0
+
+
+def test_opposite_direction_invades_ego_lane(lane_town):
+    """Scenario6 rides the actual opposing lane and swings into the
+    ego's lane mid-run (maneuver_opposite_direction.py semantics)."""
+    from transfuser_tpu.sim.town_map import LANE_WIDTH
+    y = 80.0 - LANE_WIDTH / 2.0
+    scenario = RouteScenario(_grid_route_cfg("Scenario6", (25.0, y)),
+                             town_map=lane_town)
+    sim = scenario.sim
+    cars = sim.actors_of_type("vehicle.oncoming")
+    assert len(cars) == 1
+    v = cars[0]
+    # spawned on the OPPOSING lane (yaw ~180 vs ego), on the road
+    rel = abs((v.transform.rotation.yaw - 180.0 + 180.0) % 360.0 - 180.0)
+    assert rel < 45.0
+    assert lane_town.on_road(v.transform.location.x,
+                             v.transform.location.y, margin=0.6)
+    sim.ego_transform = Transform(Location(22.0, y), Rotation(yaw=0.0))
+    lateral_seen = []
+    for _ in range(160):
+        scenario.tick_criteria()
+        sim.tick()
+        lateral_seen.append(v.transform.location.y)
+    # excursion toward the ego lane: y moves from the opposing lane's
+    # centerline (80 + w/2) toward the ego's (80 - w/2) and back
+    y_opp = 80.0 + LANE_WIDTH / 2.0
+    assert min(lateral_seen) < y_opp - 0.8 * LANE_WIDTH
+    assert abs(lateral_seen[-1] - y_opp) < 1.0

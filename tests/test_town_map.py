@@ -324,3 +324,35 @@ def test_route_backwards_goal_routes_around(town):
     assert len(pts) > 100
     assert np.linalg.norm(np.diff(pts, axis=0), axis=1).max() < 2.0
     assert np.linalg.norm(pts[-1] - [20.0, -1.75]) < 1.0
+
+
+def test_traffic_brakes_for_crossing_walker(town):
+    """Background cars must see NON-managed road users (walkers crossing,
+    scenario adversaries) as obstacles — CARLA's TM collision detection
+    covers all registered actors, not just its own vehicles."""
+    lane = next(l for l in town.lanes.values()
+                if not l.is_junction and l.length > 50)
+    from transfuser_tpu.sim.traffic import ManagedVehicle
+    car = Actor(actor_id=9005, type_id="vehicle.background",
+                transform=Transform(Location(0, 0), Rotation()))
+    mv = ManagedVehicle(actor=car, lane_id=lane.lane_id, s=5.0,
+                        target_speed=8.0)
+    tm = TrafficManager(town, seed=0)
+    tm.vehicles = [mv]
+    # a walker standing mid-lane 35 m ahead
+    wxy, _ = lane.position(40.0)
+    walker = Actor(actor_id=9100, type_id="walker.pedestrian",
+                   transform=Transform(Location(float(wxy[0]),
+                                                float(wxy[1])),
+                                       Rotation()),
+                   extent=Location(0.4, 0.4, 1.0))
+    sim = _sim_for(town, start=(200.0, 300.0))
+    sim.actors.extend([car, walker])
+    sim.traffic = tm
+    for _ in range(200):
+        sim.tick()
+    # car stopped short of the walker, never drove through it
+    assert mv.speed < 0.3
+    assert mv.lane_id == lane.lane_id
+    assert mv.s < 40.0 - car.extent.x
+    assert mv.s > 10.0  # did approach before stopping
