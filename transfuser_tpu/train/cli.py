@@ -69,6 +69,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--remat", type=str, default="none",
                    choices=["none", "early", "all"],
                    help="Backward-pass rematerialization (memory knob).")
+    p.add_argument("--multihost", type=int, default=0,
+                   help="Call jax.distributed.initialize() and shard the "
+                        "loader by process (replaces torchrun rendezvous "
+                        "+ DistributedSampler, train.py:93-106,157-158).")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multihost; None = "
+                        "auto-detect on TPU pods).")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--per_step_metrics", type=int, default=0,
+                   help="Fetch metrics device->host every step (precise "
+                        "per-epoch means, but each fetch is a hard sync "
+                        "that serializes the axon dispatch pipeline — "
+                        "PERF_NOTES). Default: fetch once at epoch end.")
     return p
 
 
@@ -123,18 +137,33 @@ def main(argv: Optional[list] = None) -> None:
     from .trainer import Trainer
 
     args = build_argparser().parse_args(argv)
+    if args.multihost:
+        # torchrun-rendezvous equivalent (train.py:93-106): one JAX
+        # process per host; jax.devices() becomes the global device set
+        # and XLA collectives ride ICI/DCN between them.
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+    proc_rank = jax.process_index()
+    proc_count = jax.process_count()
+    is_chief = proc_rank == 0
+
     cfg = config_from_args(args)
     logdir = os.path.join(args.logdir, args.id)
     os.makedirs(logdir, exist_ok=True)
-    save_config_snapshot(logdir, cfg)
-    with open(os.path.join(logdir, "args.txt"), "w") as f:
-        json.dump(vars(args), f, indent=2)
+    if is_chief:
+        save_config_snapshot(logdir, cfg)
+        with open(os.path.join(logdir, "args.txt"), "w") as f:
+            json.dump(vars(args), f, indent=2)
 
-    try:
-        from tensorboardX import SummaryWriter
-        writer = SummaryWriter(logdir)
-    except Exception:
-        writer = None
+    writer = None
+    if is_chief:
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(logdir)
+        except Exception:
+            writer = None
 
     n_devices = jax.device_count()
     n_data = args.mesh_data or (n_devices // max(args.mesh_model, 1))
@@ -142,23 +171,37 @@ def main(argv: Optional[list] = None) -> None:
     if n_data * args.mesh_model > 1:
         mesh = shd.make_mesh(shd.MeshSpec(data=n_data,
                                           model=args.mesh_model))
-    print(f"devices={n_devices} mesh=({n_data}x{args.mesh_model})")
+    if is_chief:
+        print(f"devices={n_devices} processes={proc_count} "
+              f"mesh=({n_data}x{args.mesh_model})")
 
     train_dirs, val_dirs = cfg.resolve_splits()
     train_set = CarlaDataset(train_dirs, cfg)
     val_set = CarlaDataset(val_dirs, cfg, augment=False)
     global_batch = args.batch_size * n_data
-    print(f"train samples={len(train_set)} val={len(val_set)} "
-          f"global_batch={global_batch}")
+    if global_batch % proc_count:
+        raise SystemExit(f"global batch {global_batch} not divisible by "
+                         f"{proc_count} processes")
+    local_batch = global_batch // proc_count
+    if is_chief:
+        print(f"train samples={len(train_set)} val={len(val_set)} "
+              f"global_batch={global_batch} local_batch={local_batch}")
 
     steps_per_epoch = max(1, len(train_set) // global_batch)
     trainer = Trainer(cfg, mesh=mesh, steps_per_epoch=steps_per_epoch)
 
-    train_loader = PrefetchLoader(train_set, global_batch, shuffle=True,
+    # Each process loads only its sample shard (DistributedSampler
+    # semantics, train.py:157-158); Trainer.put_batch assembles the
+    # global array from the local rows.
+    train_loader = PrefetchLoader(train_set, local_batch, shuffle=True,
                                   num_workers=args.num_workers,
-                                  seed=args.seed)
-    val_loader = PrefetchLoader(val_set, global_batch, shuffle=False,
-                                num_workers=args.num_workers)
+                                  seed=args.seed,
+                                  shard_rank=proc_rank,
+                                  shard_count=proc_count)
+    val_loader = PrefetchLoader(val_set, local_batch, shuffle=False,
+                                num_workers=args.num_workers,
+                                shard_rank=proc_rank,
+                                shard_count=proc_count)
 
     example = next(iter(train_loader))
     trainer.init_state(example, seed=args.seed)
@@ -177,11 +220,15 @@ def main(argv: Optional[list] = None) -> None:
         try:
             train_loader.set_epoch(epoch)
             t0 = time.time()
-            metrics = trainer.train_epoch(iter(train_loader))
+            metrics = trainer.train_epoch(
+                iter(train_loader),
+                fetch_metrics=bool(args.per_step_metrics))
             dt = time.time() - t0
             sps = len(train_set) / max(dt, 1e-9)
-            print(f"epoch {epoch}: loss={metrics.get('loss_total', 0):.4f} "
-                  f"({sps:.1f} samples/s)")
+            if is_chief:
+                print(f"epoch {epoch}: "
+                      f"loss={metrics.get('loss_total', 0):.4f} "
+                      f"({sps:.1f} samples/s)")
             if writer:
                 for k, v in metrics.items():
                     writer.add_scalar(k, v, epoch + 1)
@@ -224,11 +271,15 @@ def main(argv: Optional[list] = None) -> None:
     # (train.py:381-384 -> submission_agent.py:84-99); here training
     # checkpoints are orbax train-state dirs, so the eval-format export
     # is explicit.
-    from .checkpoint import save_inference_weights
-    save_inference_weights(
-        os.path.join(logdir, f"model_{epoch}.msgpack"),
-        {"params": trainer.state.params,
-         "batch_stats": trainer.state.batch_stats})
+    if is_chief:
+        # params/batch_stats are replicated over the data axis, so the
+        # chief's local view is the full tree (ZeRO-1 shards only the
+        # optimizer moments, which the inference export drops).
+        from .checkpoint import save_inference_weights
+        save_inference_weights(
+            os.path.join(logdir, f"model_{epoch}.msgpack"),
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats})
     ckpt.close()  # drains any in-flight async save
 
 

@@ -215,16 +215,27 @@ class Trainer:
                                                 self.mesh),
             opt_state=o_shard)
         self._state_shardings = state_shardings
-        batch_shardings = shd.batch_sharding(example_batch, self.mesh)
         init_jit = jax.jit(init_fn, out_shardings=state_shardings)
-        batch_dev = jax.device_put(example_batch, batch_shardings)
+        # put_batch, not a bare device_put: under multi-process each host
+        # holds only its loader shard and the global array must be
+        # assembled from process-local rows.
+        batch_dev = self.put_batch(example_batch)
         self.state = init_jit(rngs, batch_dev)
         return self.state
 
     def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         if self.mesh is None:
             return batch
-        return jax.device_put(batch, shd.batch_sharding(batch, self.mesh))
+        shardings = shd.batch_sharding(batch, self.mesh)
+        if jax.process_count() > 1:
+            # Each host holds only its loader shard (PrefetchLoader
+            # shard_rank/shard_count); assemble the global array from the
+            # process-local rows. Replaces torch DistributedSampler +
+            # per-rank DataLoader (train.py:156-163).
+            return jax.tree.map(
+                lambda leaf, s: jax.make_array_from_process_local_data(
+                    s, np.asarray(leaf)), batch, shardings)
+        return jax.device_put(batch, shardings)
 
     # ----------------------------------------------------------------- loops
     def train_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
