@@ -41,6 +41,46 @@ def test_bev_decode_parity(rng):
     np.testing.assert_allclose(fast, slow, atol=1e-6)
 
 
+def test_png_decode_parity(rng, tmp_path):
+    """libpng fast path round-trips cv2-written files exactly, in every
+    channel mode the dataset uses (RGB force, keep-own grayscale,
+    gray->RGB promotion)."""
+    import cv2
+
+    rgb = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    p_rgb = str(tmp_path / "rgb.png")
+    cv2.imwrite(p_rgb, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+    np.testing.assert_array_equal(native.png_read(p_rgb, channels=3), rgb)
+
+    gray = rng.integers(0, 26, (32, 40)).astype(np.uint8)
+    p_gray = str(tmp_path / "g.png")
+    cv2.imwrite(p_gray, gray)
+    np.testing.assert_array_equal(native.png_read(p_gray), gray)
+    np.testing.assert_array_equal(native.png_read(p_gray, channels=3),
+                                  np.stack([gray] * 3, axis=-1))
+
+    assert native.png_read(str(tmp_path / "missing.png")) is None
+
+
+def test_dataset_imread_uses_native(tmp_path, rng):
+    """CarlaDataset._imread_rgb/_imread_any return identical pixels to the
+    cv2 fallback path."""
+    import cv2
+
+    from transfuser_tpu.data.dataset import CarlaDataset
+
+    rgb = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    cv2.imwrite(p, cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+    np.testing.assert_array_equal(CarlaDataset._imread_rgb(p), rgb)
+    np.testing.assert_array_equal(CarlaDataset._imread_any(p), rgb)
+
+    gray = rng.integers(0, 26, (16, 24)).astype(np.uint8)
+    pg = str(tmp_path / "s.png")
+    cv2.imwrite(pg, gray)
+    np.testing.assert_array_equal(CarlaDataset._imread_any(pg), gray)
+
+
 def test_native_histogram_speed(rng):
     import time
     pts = rng.uniform(-40, 40, (40000, 4)).astype(np.float32)

@@ -47,6 +47,11 @@ def load() -> Optional[ctypes.CDLL]:
     lib.decode_bev_roadlane.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                         f32p]
     lib.crop_to_float.argtypes = [u8p] + [ctypes.c_int64] * 6 + [f32p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.png_info_file.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
+    lib.png_decode_file.argtypes = [ctypes.c_char_p, u8p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -88,6 +93,30 @@ def semantic_convert(seg: np.ndarray, lut: np.ndarray) -> Optional[np.ndarray]:
     lib.semantic_convert(arr.ravel(), arr.size, lut8, lut8.size,
                          out.ravel())
     return out
+
+
+def png_read(path: str, channels: Optional[int] = None) \
+        -> Optional[np.ndarray]:
+    """Decode a PNG straight into a uint8 HWC array via libpng (no
+    Python/cv2 overhead). `channels` forces the output channel count
+    (1=gray, 3=RGB, 4=RGBA); None keeps the file's own. Color output is
+    RGB (the file's true order — cv2's BGR quirk is NOT emulated).
+    Returns None if the native lib is unavailable or decode fails."""
+    lib = load()
+    if lib is None:
+        return None
+    w = ctypes.c_int64()
+    h = ctypes.c_int64()
+    c = ctypes.c_int64()
+    enc = os.fsencode(path)
+    if lib.png_info_file(enc, ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(c)):
+        return None
+    ch = int(channels) if channels is not None else int(c.value)
+    out = np.empty((h.value, w.value, ch), np.uint8)
+    if lib.png_decode_file(enc, out, h.value, w.value, ch):
+        return None
+    return out[..., 0] if ch == 1 else out
 
 
 def decode_bev_roadlane(packed: np.ndarray) -> Optional[np.ndarray]:

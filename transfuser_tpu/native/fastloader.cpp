@@ -12,9 +12,98 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 
+#include <png.h>
+
 extern "C" {
+
+// ---------------------------------------------------------------- PNG IO
+// cv2.imread was the largest remaining host-decode cost (~4.5 ms/sample,
+// PERF_NOTES "Host data path"); these wrap libpng directly with zero
+// Python/cv2 overhead and decode straight into the caller's buffer in
+// the requested channel count/order.
+
+// Image dimensions without decoding. Returns 0 on success.
+int png_info_file(const char* path, int64_t* w, int64_t* h, int64_t* c) {
+    FILE* fp = std::fopen(path, "rb");
+    if (!fp) return 1;
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    png_infop info = png_create_info_struct(png);
+    if (!png || !info || setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        return 2;
+    }
+    png_init_io(png, fp);
+    png_read_info(png, info);
+    *w = png_get_image_width(png, info);
+    *h = png_get_image_height(png, info);
+    const int color = png_get_color_type(png, info);
+    *c = (color == PNG_COLOR_TYPE_GRAY) ? 1
+         : (color == PNG_COLOR_TYPE_GRAY_ALPHA) ? 2
+         : (color == PNG_COLOR_TYPE_RGBA) ? 4 : 3;
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 0;
+}
+
+// Decode an 8/16-bit PNG into `out` as uint8 HWC with `channels` (1, 3 or
+// 4; 3 = RGB). Caller allocates h*w*channels bytes (from png_info_file).
+// Returns 0 on success, nonzero on IO/format mismatch.
+int png_decode_file(const char* path, uint8_t* out, int64_t h, int64_t w,
+                    int64_t channels) {
+    FILE* fp = std::fopen(path, "rb");
+    if (!fp) return 1;
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                             nullptr, nullptr, nullptr);
+    png_infop info = png_create_info_struct(png);
+    png_bytep* rows = nullptr;
+    if (!png || !info || setjmp(png_jmpbuf(png))) {
+        delete[] rows;
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        return 2;
+    }
+    png_init_io(png, fp);
+    png_read_info(png, info);
+    if (png_get_image_width(png, info) != w ||
+        png_get_image_height(png, info) != h) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        return 3;
+    }
+    png_set_strip_16(png);
+    png_set_packing(png);
+    const int color = png_get_color_type(png, info);
+    if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (channels >= 3 &&
+        (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA))
+        png_set_gray_to_rgb(png);
+    if (channels <= 2 && (color & PNG_COLOR_MASK_COLOR))
+        png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+    if (channels == 1 || channels == 3)
+        png_set_strip_alpha(png);
+    if ((channels == 4 && !(color & PNG_COLOR_MASK_ALPHA)) ||
+        (channels == 2 && !(color & PNG_COLOR_MASK_ALPHA)))
+        png_set_filler(png, 0xFF, PNG_FILLER_AFTER);
+    png_read_update_info(png, info);
+    if (png_get_rowbytes(png, info) !=
+        static_cast<png_size_t>(w * channels)) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        std::fclose(fp);
+        return 4;
+    }
+    rows = new png_bytep[h];
+    for (int64_t r = 0; r < h; ++r) rows[r] = out + r * w * channels;
+    png_read_image(png, rows);
+    delete[] rows;
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return 0;
+}
 
 // LiDAR (N, 4) xyzi -> (256, 256, 2) two-slice histogram, NHWC float32.
 // Matches data/lidar_np.py::lidar_to_histogram (reference data.py:446-470):
