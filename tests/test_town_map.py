@@ -356,3 +356,57 @@ def test_traffic_brakes_for_crossing_walker(town):
     assert mv.lane_id == lane.lane_id
     assert mv.s < 40.0 - car.extent.x
     assert mv.s > 10.0  # did approach before stopping
+
+
+def test_interpolate_trajectory_follows_lanes(town):
+    """Map-aware densification routes keypoint pairs ALONG the lane
+    network (the linear fallback cuts junction corners, which both
+    misleads the expert planner and mis-scores OutsideRouteLanes)."""
+    from transfuser_tpu.harness.route_parser import (RoadOption,
+                                                     interpolate_trajectory)
+    # southbound on x=78.25 through junction (80, 0), exiting west on the
+    # westbound lane y=+1.75: a right turn whose straight-line chord
+    # crosses the block interior
+    traj = [Transform(Location(78.25, 30.0), Rotation(yaw=-90.0)),
+            Transform(Location(40.0, 1.75), Rotation(yaw=180.0))]
+    linear = interpolate_trajectory(traj)
+    assert any(not town.on_road(t.location.x, t.location.y)
+               for t, _ in linear)  # the chord leaves the road
+    dense = interpolate_trajectory(traj, town_map=town)
+    assert all(town.on_road(t.location.x, t.location.y, margin=0.6)
+               for t, _ in dense)
+    opts = [o for _, o in dense]
+    assert RoadOption.RIGHT in opts  # junction span labeled by yaw delta
+    assert opts[0] == RoadOption.LANEFOLLOW
+    # off-network keypoints fall back to the linear leg
+    off = [Transform(Location(500.0, 500.0)), Transform(Location(520.0, 500.0))]
+    assert len(interpolate_trajectory(off, town_map=town)) >= 2
+
+
+def test_turn_connectors_above_min_turning_radius(town):
+    """Junction connector arcs must stay above the ego's physical minimum
+    turning radius (~3.6 m, WoR bicycle model) — a quadratic bezier's apex
+    radius was half the tangent-arc's and made tight right turns
+    untrackable."""
+    for lane in town.lanes.values():
+        if not lane.is_junction:
+            continue
+        pts = np.asarray(lane.centerline)
+        if len(pts) < 7:
+            continue
+        d1 = np.gradient(pts, axis=0)
+        d2 = np.gradient(d1, axis=0)
+        num = np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
+        den = np.maximum((d1 ** 2).sum(axis=1) ** 1.5, 1e-9)
+        curvature = num / den
+        # ignore endpoints (gradient boundary effects)
+        assert curvature[3:-3].max() < 1.0 / 3.6, (
+            f"lane {lane.lane_id}: min radius "
+            f"{1.0 / max(curvature[3:-3].max(), 1e-9):.2f} m")
+
+
+def test_junction_interior_is_paved(town):
+    # junction boxes are paved wall to wall (CARLA junctions): a point
+    # inside the box but off every connector centerline strip is on-road
+    assert town.on_road(75.0, 75.0)   # inside junction (80, 80) corner
+    assert not town.on_road(40.0, 40.0)  # block interior stays off-road

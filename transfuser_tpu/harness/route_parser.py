@@ -146,11 +146,22 @@ def scan_route_for_scenarios(town: str, trajectory: List[Transform],
 
 # ------------------------------------------------------------- interpolation
 
-def interpolate_trajectory(trajectory: List[Transform], hop: float = 1.0
+def interpolate_trajectory(trajectory: List[Transform], hop: float = 1.0,
+                           town_map=None
                            ) -> List[Tuple[Transform, RoadOption]]:
-    """Densify sparse keypoints at ~hop meters. Hermetic (linear) variant of
-    the reference's GlobalRoutePlanner interpolation
-    (nav_planner.py:191-285)."""
+    """Densify sparse keypoints at ~hop meters.
+
+    With a `town_map`, each keypoint pair is routed ALONG the lane network
+    (TownMap.route lane-graph BFS — the hermetic equivalent of the
+    reference's GlobalRoutePlanner trace, nav_planner.py:191-285), and
+    junction spans are labeled LEFT/RIGHT/STRAIGHT from the signed
+    entry->exit yaw delta. Without one: straight-line densification —
+    which CUTS CORNERS between keypoints on different roads, so every
+    consumer that has a map must pass it (a corner-cutting dense route
+    both misleads the expert's waypoint planner and mis-scores
+    OutsideRouteLanes)."""
+    if town_map is not None:
+        return _interpolate_on_map(trajectory, town_map, hop)
     dense: List[Tuple[Transform, RoadOption]] = []
     for a, b in zip(trajectory[:-1], trajectory[1:]):
         pa, pb = a.location.as_array(), b.location.as_array()
@@ -165,6 +176,48 @@ def interpolate_trajectory(trajectory: List[Transform], hop: float = 1.0
     last = trajectory[-1]
     dense.append((last, RoadOption.LANEFOLLOW))
     return dense
+
+
+def _interpolate_on_map(trajectory: List[Transform], town_map,
+                        hop: float) -> List[Tuple[Transform, RoadOption]]:
+    pts: List[Transform] = []
+    for a, b in zip(trajectory[:-1], trajectory[1:]):
+        try:
+            seg = town_map.route((a.location.x, a.location.y),
+                                 (b.location.x, b.location.y), step=hop)
+        except ValueError:
+            # keypoint off the lane network: straight-line this leg
+            seg = [tf for tf, _ in interpolate_trajectory([a, b], hop)]
+        if pts and seg and pts[-1].location.distance(
+                seg[0].location) < 0.5 * hop:
+            seg = seg[1:]
+        pts.extend(seg)
+    if not pts:
+        pts = [trajectory[0]]
+
+    # Label junction spans by signed yaw delta (route_gen._turn_of
+    # convention; CARLA's GlobalRoutePlanner likewise emits turn
+    # commands through junctions) so the downsampled plan keeps a
+    # command point at each junction entry (route_manipulation.py:86-131
+    # preserves command changes).
+    options = [RoadOption.LANEFOLLOW] * len(pts)
+    i = 0
+    while i < len(pts):
+        if town_map.is_junction(pts[i].location.x, pts[i].location.y):
+            j = i
+            while j + 1 < len(pts) and town_map.is_junction(
+                    pts[j + 1].location.x, pts[j + 1].location.y):
+                j += 1
+            d = (pts[j].rotation.yaw - pts[i].rotation.yaw
+                 + 540.0) % 360.0 - 180.0
+            opt = RoadOption.LEFT if d > 30.0 else \
+                RoadOption.RIGHT if d < -30.0 else RoadOption.STRAIGHT
+            for k in range(i, j + 1):
+                options[k] = opt
+            i = j + 1
+        else:
+            i += 1
+    return list(zip(pts, options))
 
 
 def downsample_route(route: List[Tuple[Transform, RoadOption]],

@@ -46,7 +46,8 @@ class RouteScenario:
     sim: ReplaySimulation = field(init=False)
 
     def __post_init__(self) -> None:
-        self.dense_route = interpolate_trajectory(self.config.trajectory)
+        self.dense_route = interpolate_trajectory(self.config.trajectory,
+                                                  town_map=self.town_map)
         # Route-length-scaled evaluation budget
         # (route_scenario_local.py:52-53,261-273): 0.8 s/m + 5 s. A flat
         # cap penalized long routes as harness-artifact timeouts
@@ -150,6 +151,10 @@ class RouteScenario:
             actors.append(Actor(
                 actor_id=3500 + spec.sign_id, type_id="static.prop.stop",
                 transform=pole,
+                # signpost-sized hitbox — the Actor default is a CAR-sized
+                # extent, which made curb-side poles collide with vehicles
+                # sweeping an adjacent right-turn arc
+                extent=Location(0.3, 0.3, 2.0),
                 trigger_location=Location(local[0], local[1], 0.0),
                 trigger_box=Location(float(spec.trigger.half_extent[0]),
                                      float(spec.trigger.half_extent[1]),

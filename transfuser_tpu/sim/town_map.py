@@ -127,11 +127,17 @@ class TownMap:
     def __init__(self, lanes: Sequence[Lane],
                  traffic_lights: Sequence[TrafficLightSpec] = (),
                  stop_signs: Sequence[StopSignSpec] = (),
-                 name: str = "town"):
+                 name: str = "town",
+                 junction_boxes: Sequence[Tuple[Tuple[float, float],
+                                                float]] = ()):
         self.name = name
         self.lanes: Dict[int, Lane] = {l.lane_id: l for l in lanes}
         self.traffic_lights = list(traffic_lights)
         self.stop_signs = list(stop_signs)
+        # ((cx, cy), half_extent) squares: junction interiors are FULLY
+        # paved (as in CARLA), not just the connector centerline strips.
+        self.junction_boxes = [((float(c[0]), float(c[1])), float(h))
+                               for c, h in junction_boxes]
         self._build_index()
 
     # ------------------------------------------------------------ indexing
@@ -186,7 +192,14 @@ class TownMap:
         return out
 
     def on_road(self, x: float, y: float, margin: float = 0.3) -> bool:
-        """True if (x, y) lies within some lane's paved width."""
+        """True if (x, y) lies within some lane's paved width or inside a
+        junction interior (CARLA junction boxes are paved wall to wall;
+        only checking connector strips falsely scores legal junction
+        driving as outside-lane, atomic_criteria_local.py uses the map's
+        Driving-lane waypoints which cover the whole box)."""
+        for (cx, cy), half in self.junction_boxes:
+            if abs(x - cx) <= half + margin and abs(y - cy) <= half + margin:
+                return True
         hit = self.nearest_lane(x, y, max_dist=2 * LANE_WIDTH)
         if hit is None:
             return False
@@ -347,9 +360,43 @@ class TownMap:
 # Procedural town builder
 # --------------------------------------------------------------------------
 
-def _bezier(p0, p1, p2, n: int) -> np.ndarray:
-    t = np.linspace(0.0, 1.0, n)[:, None]
-    return ((1 - t) ** 2 * p0 + 2 * (1 - t) * t * p1 + t ** 2 * p2)
+def _turn_path(a: np.ndarray, fwd: np.ndarray, b: np.ndarray,
+               fwd2: np.ndarray, step: float) -> np.ndarray:
+    """Straight + circular-arc + straight connector from `a` (heading
+    `fwd`) to `b` (heading `fwd2`).
+
+    A quadratic bezier between perpendicular legs of length d has apex
+    radius d/2 — for the tight right-turn connectors this fell below the
+    ego's physical minimum turning radius (~3.6 m, WoR bicycle model) and
+    the expert could only overshoot. The tangent arc has radius
+    min(d1, d2): the largest curve that stays inside the same corner."""
+    corner = _line_intersect(a, fwd, b, -fwd2)
+    d1 = float(np.linalg.norm(corner - a))
+    d2 = float(np.linalg.norm(b - corner))
+    r = min(d1, d2)
+    t1 = corner - fwd * r      # arc start (on the entry leg)
+    t2 = corner + fwd2 * r     # arc end (on the exit leg)
+    # arc center: offset from t1 perpendicular to fwd, toward the turn
+    turn_sign = float(np.sign(fwd[0] * fwd2[1] - fwd[1] * fwd2[0]))
+    normal = np.array([-fwd[1], fwd[0]]) * turn_sign
+    center = t1 + normal * r
+    a0 = math.atan2(t1[1] - center[1], t1[0] - center[0])
+    a1 = math.atan2(t2[1] - center[1], t2[0] - center[0])
+    sweep = (a1 - a0) % (2.0 * math.pi) if turn_sign > 0 else \
+        -((a0 - a1) % (2.0 * math.pi))
+    n_arc = max(int(abs(sweep) * r / step) + 2, 4)
+    angles = a0 + np.linspace(0.0, sweep, n_arc)
+    arc = center + r * np.stack([np.cos(angles), np.sin(angles)], axis=1)
+    parts = [arc]
+    if d1 > r + 1e-9:
+        n = max(int((d1 - r) / step) + 1, 2)
+        parts.insert(0, a + (t1 - a) * np.linspace(0.0, 1.0, n,
+                                                   endpoint=False)[:, None])
+    if d2 > r + 1e-9:
+        n = max(int((d2 - r) / step) + 1, 2)
+        tail = t2 + (b - t2) * np.linspace(0.0, 1.0, n + 1)[1:, None]
+        parts.append(tail)
+    return np.concatenate(parts, axis=0)
 
 
 # Exact unit vectors for axis-aligned headings (trig of radians(90) is not
@@ -379,6 +426,16 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
     """
     n = blocks + 1
     half_w = LANE_WIDTH / 2.0
+    # A right turn runs outer lane -> outer lane with arc radius
+    # junction_half - outer_offset; keep that above the ego's physical
+    # minimum turning radius (~3.6 m) with margin, else the expert can
+    # only overshoot the connector. Multi-lane towns therefore get a
+    # wider junction box automatically (CARLA junctions likewise grow
+    # with road width).
+    min_turn_r = 4.5
+    junction_half = max(junction_half,
+                        half_w + (lanes_per_dir - 1) * LANE_WIDTH
+                        + min_turn_r)
     lanes: List[Lane] = []
     lights: List[TrafficLightSpec] = []
     stops: List[StopSignSpec] = []
@@ -471,10 +528,11 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
                 if turn == "straight":
                     pts = straight(in_pt, out_pt)
                 else:
-                    ctrl = _line_intersect(in_pt, fwd, out_pt, -fwd2)
-                    m = max(int(np.hypot(*(out_pt - in_pt))
-                                / SAMPLE_STEP) + 2, 4)
-                    pts = _bezier(in_pt, ctrl, out_pt, m)
+                    # tangent-arc connector: apex radius = leg length
+                    # (a quadratic bezier's is only half that, which put
+                    # tight right turns under the ego's physical minimum
+                    # turning radius ~3.6 m, WoR bicycle model)
+                    pts = _turn_path(in_pt, fwd, out_pt, fwd2, SAMPLE_STEP)
                 conn = add_lane(pts, True, jid)
                 lanes_by_id[conn.lane_id] = conn
                 lanes_by_id[src].successors.append(conn.lane_id)
@@ -540,9 +598,12 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
         trigger = TriggerVolume(center=trig_center,
                                 half_extent=np.array([2.5, span]),
                                 yaw_deg=h)
+        # Pole stands sidewalk-distance off the outer lane edge (CARLA
+        # signposts are ~2 m beyond the curb): 2.5 m left it only 0.75 m
+        # clear of the lane and corner-adjacent vehicles clipped it.
         outer = lanes_in[-1][1]
-        pole = Transform(Location(float(outer[0] + right[0] * 2.5),
-                                  float(outer[1] + right[1] * 2.5)),
+        pole = Transform(Location(float(outer[0] + right[0] * 4.0),
+                                  float(outer[1] + right[1] * 4.0)),
                          Rotation(yaw=h))
         return [lid for lid, _ in lanes_in], (stop_a, stop_b), trigger, \
             pole
@@ -575,7 +636,9 @@ def grid_town(blocks: int = 2, block_size: float = 80.0,
                                       trigger=trigger))
             sign_id += 1
 
-    return TownMap(lanes, lights, stops, name=name)
+    boxes = [((i * block_size, j * block_size), junction_half)
+             for i in range(n) for j in range(n)]
+    return TownMap(lanes, lights, stops, name=name, junction_boxes=boxes)
 
 
 def _line_intersect(p0, d0, p1, d1) -> np.ndarray:
