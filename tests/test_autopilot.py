@@ -153,3 +153,59 @@ def test_bev_codec_roundtrip():
     road_lane = decode_bev_channels(packed)
     np.testing.assert_array_equal(road_lane[0], bev[10])
     np.testing.assert_array_equal(road_lane[1], bev[11])
+
+
+def test_autopilot_stops_inside_stop_trigger():
+    """Stop compliance semantics: RunningStopTest scores the ego CENTER
+    at <0.1 m/s INSIDE the trigger volume — the expert must creep past a
+    bb-touch stop until its center is inside, then fully stop and
+    proceed (the reference's bb-touch clearing left the center outside
+    and still scored an infraction)."""
+    from transfuser_tpu.harness.criteria import RunningStopTest
+    # stop trigger spanning the lane, 5 m deep, centered at x=22.5
+    stop = Actor(actor_id=77, type_id="static.prop.stop",
+                 transform=Transform(Location(25.0, 4.0), Rotation(yaw=0.0)),
+                 extent=Location(0.3, 0.3, 2.0),
+                 trigger_location=Location(-2.5, -4.0, 0.0),
+                 trigger_box=Location(2.5, 3.0, 2.0))
+    agent = AutoPilot()
+    assert agent.ignore_stop_signs is False
+    sim = _wire_agent(agent, _straight_route(), actors=[stop])
+    stopped_inside = False
+    for _ in range(600):
+        default_sensor_feeder(sim, agent)
+        c = agent(sim.game_time)
+        sim.apply_control(c)
+        sim.tick()
+        x = sim.ego_transform.location.x
+        if 20.0 <= x <= 25.0 and sim.ego_speed < RunningStopTest.SPEED_THRESHOLD:
+            stopped_inside = True
+    assert stopped_inside
+    assert 77 in agent.cleared_stop_signs or \
+        sim.ego_transform.location.x > 25.0
+    # and it PROCEEDS after clearing (no deadlock at the sign)
+    assert sim.ego_transform.location.x > 30.0
+
+
+def test_route_completion_at_goal_short_route():
+    """End-of-route braking stops the expert ~5 m short of the final
+    point; on a short route that is arrival (<DISTANCE_THRESHOLD of the
+    terminus with the route consumed), not a 94% timeout."""
+    from transfuser_tpu.harness.criteria import RouteCompletionTest
+    route = [Transform(Location(float(x), 0.0), Rotation(yaw=0.0))
+             for x in range(0, 60)]
+    crit = RouteCompletionTest(route)
+
+    class _Sim:
+        pass
+    sim = _Sim()
+    for x in (0.0, 20.0, 40.0, 54.0):  # stops 5 m short of x=59
+        sim.ego_transform = Transform(Location(x, 0.0), Rotation())
+        crit.update(sim)
+    assert crit._done and crit.percentage == 100.0
+    # but a route abandoned mid-way does NOT complete
+    crit2 = RouteCompletionTest(route)
+    for x in (0.0, 20.0):
+        sim.ego_transform = Transform(Location(x, 0.0), Rotation())
+        crit2.update(sim)
+    assert not crit2._done

@@ -250,4 +250,5 @@ class DataAgent(AutoPilot):
     def _dense_route_world(self):
         from ..harness.route_parser import interpolate_trajectory
         return interpolate_trajectory(
-            [tf for tf, _ in self._global_plan_world_coord])
+            [tf for tf, _ in self._global_plan_world_coord],
+            town_map=getattr(self.sim, "town_map", None))

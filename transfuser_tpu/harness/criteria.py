@@ -92,7 +92,19 @@ class RouteCompletionTest(Criterion):
         if d[best - self._index] < self.DISTANCE_THRESHOLD:
             self._index = best
             self.percentage = 100.0 * self._cum[best] / self._total
-        if self.percentage > 99.0 or best >= len(self._points) - 2:
+        # Done at >99% arclength, at the final points, or STOPPED AT THE
+        # GOAL: within DISTANCE_THRESHOLD of the terminus with the route
+        # otherwise consumed (the reference treats <10 m from the final
+        # transform as arrival, atomic_criteria RouteCompletionTest — on
+        # its ~1.5 km routes that IS >99%; on short hermetic routes the
+        # expert's end-of-route braking stops ~5 m early, which is
+        # arrival, not a 94% timeout).
+        d_final = float(np.linalg.norm(self._points[-1] - ego))
+        at_goal = (d_final < self.DISTANCE_THRESHOLD
+                   and self._cum[self._index]
+                   >= self._total - self.DISTANCE_THRESHOLD)
+        if self.percentage > 99.0 or best >= len(self._points) - 2 \
+                or at_goal:
             self._done = True
             self.percentage = 100.0
             self.events.append(TrafficEvent(

@@ -77,6 +77,16 @@ class ScenarioBehavior:
             return
         self.elapsed += sim.dt
         self.behave(sim, sim.dt)
+        if self.done:
+            # srunner destroys scenario actors when the maneuver ends
+            # (basic_scenario.remove_all_actors). Leaving them parked on
+            # real lanes gridlocks the TrafficManager (which brakes for
+            # them) and blocks the ego's route behind queued traffic.
+            self._despawn(sim)
+
+    def _despawn(self, sim: ReplaySimulation) -> None:
+        sim.actors[:] = [a for a in sim.actors
+                         if a.actor_id != self.actor_id]
 
     def _actor(self, sim: ReplaySimulation) -> Optional[Actor]:
         for a in sim.actors:
@@ -242,6 +252,18 @@ class FollowLeadingVehicle(ScenarioBehavior):
     def behave(self, sim: ReplaySimulation, dt: float) -> None:
         lead = self._actor(sim)
         if lead is None:
+            self.done = True
+            return
+        # End like srunner's follow_leading_vehicle: once the ego has
+        # reacted (closed in and come to a near-stop behind the lead) or
+        # after a failsafe window, the maneuver is over (the despawn in
+        # tick() then clears the lane, srunner ActorDestroy).
+        ego = sim.ego_transform.location
+        d_ego = math.hypot(ego.x - lead.transform.location.x,
+                           ego.y - lead.transform.location.y)
+        reacted = (self.elapsed > 6.0 and d_ego < 25.0
+                   and sim.ego_speed < 1.0)
+        if reacted or self.elapsed > 25.0:
             self.done = True
             return
         lead.speed = self._speed_profile()

@@ -133,28 +133,31 @@ class TrafficManager:
             occupancy.setdefault(mv.lane_id, []).append(
                 (mv.s, mv.actor.extent.x))
             managed_ids.add(mv.actor.actor_id)
-        ego_hit = self.map.nearest_lane(sim.ego_transform.location.x,
-                                        sim.ego_transform.location.y,
-                                        max_dist=2.0 * 3.5)
-        if ego_hit is not None and abs(ego_hit[2]) < ego_hit[0].width:
-            occupancy.setdefault(ego_hit[0].lane_id, []).append(
-                (ego_hit[1], sim.ego_extent.x))
-        # Non-managed road users — crossing walkers (Scenario3/4) and
-        # scripted scenario adversaries — occupy every lane they overlap,
-        # so background cars brake for them instead of driving through
-        # (CARLA TM's collision detection covers all registered actors).
+
+        # Non-managed road users — the EGO, crossing walkers (Scenario3/4)
+        # and scripted scenario adversaries — occupy EVERY lane they
+        # overlap (a vehicle stopped inside a junction straddles several
+        # connector lanes), so background cars brake for them instead of
+        # driving through (CARLA TM's collision detection covers all
+        # registered actors).
+        def occupy(x: float, y: float, half_len: float,
+                   half_wid: float) -> None:
+            for lane in self.map.lanes_near(x, y, radius=2.0 * 3.5):
+                s, lat = lane.project(x, y)
+                if abs(lat) <= 0.5 * lane.width + half_wid:
+                    occupancy.setdefault(lane.lane_id, []).append(
+                        (s, half_len))
+
+        occupy(sim.ego_transform.location.x, sim.ego_transform.location.y,
+               sim.ego_extent.x, sim.ego_extent.y)
         for actor in sim.actors:
             t = actor.type_id
             if actor.actor_id in managed_ids or not (
                     t.startswith("vehicle") or t.startswith("walker")):
                 continue
-            x, y = actor.transform.location.x, actor.transform.location.y
-            margin = max(actor.extent.x, actor.extent.y)
-            for lane in self.map.lanes_near(x, y, radius=2.0 * 3.5):
-                s, lat = lane.project(x, y)
-                if abs(lat) <= 0.5 * lane.width + margin:
-                    occupancy.setdefault(lane.lane_id, []).append(
-                        (s, float(actor.extent.x)))
+            occupy(actor.transform.location.x, actor.transform.location.y,
+                   float(actor.extent.x),
+                   max(actor.extent.x, actor.extent.y))
 
         for mv in self.vehicles:
             desired = mv.target_speed
