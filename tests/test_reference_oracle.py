@@ -43,6 +43,17 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_DIR), reason="reference checkout not present")
 
 
+@pytest.fixture()
+def rng():
+    """Module-local fixed-seed rng, shadowing the SESSION-scoped conftest
+    fixture: with session scope the inputs here depended on which tests
+    ran earlier, and some draws produce near-tie heatmap scores whose
+    top-k ORDER legitimately flips between torch and XLA fp32 rounding —
+    the box-row comparison then pairs different boxes. Fixed inputs keep
+    this a parity test, not an fp32 tie-ordering lottery."""
+    return np.random.default_rng(1234)
+
+
 @pytest.fixture(scope="module")
 def ref_modules():
     if REF_DIR not in sys.path:
