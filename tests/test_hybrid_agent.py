@@ -173,3 +173,44 @@ def test_agent_geometric_correspondence_wiring(tmp_path, monkeypatch):
                                g.lidar_horz_anchors, 5, 2)
     assert captured["cam"] == (1, g.img_vert_anchors,
                                g.img_horz_anchors, 5, 2)
+
+
+def test_agent_pipelined_fetch(tmp_path):
+    """pipelined_fetch=True: frame N's control comes from the forward
+    dispatched at frame N-2 (one compute frame of latency, hidden under
+    the action repeat); the first compute frame only primes the pipe."""
+    import dataclasses
+
+    cfg, model_dir = _make_model_dir(tmp_path, n_members=1)
+    from transfuser_tpu.agents.hybrid_agent import HybridAgent
+    from transfuser_tpu.harness.evaluator import default_sensor_feeder
+    from transfuser_tpu.harness.route_parser import (RoadOption,
+                                                     location_route_to_gps)
+    from transfuser_tpu.sim.replay import ReplaySimulation
+    from transfuser_tpu.sim.types import Location, Transform
+
+    agent = HybridAgent(model_dir)
+    agent.config = agent.config.replace(
+        controller=dataclasses.replace(agent.config.controller,
+                                       pipelined_fetch=True))
+    traj = [Transform(Location(float(x), 0.0)) for x in range(0, 100, 10)]
+    plan = location_route_to_gps([(t, RoadOption.LANEFOLLOW) for t in traj])
+    agent.set_global_plan(plan, [(t, RoadOption.LANEFOLLOW) for t in traj])
+    for spec in agent.sensors():
+        agent.sensor_interface.register_sensor(spec["id"], spec["type"])
+
+    sim = ReplaySimulation(traj, fps=20)
+    controls = []
+    for _ in range(6):
+        default_sensor_feeder(sim, agent)
+        controls.append(agent(sim.game_time))
+        sim.tick()
+    # step 0 primes the pipeline: initial control held, forward pending
+    assert controls[0].brake == 1.0
+    assert agent._pending is not None
+    # step 2 fetches step 0's forward: real waypoints drive the control
+    assert agent.pred_wp is not None
+    # action repeat still applies each computed action for two frames
+    assert controls[2].steer == controls[3].steer
+    assert controls[4].steer == controls[5].steer
+    assert len(agent.gps_buffer) == 6

@@ -114,6 +114,10 @@ class HybridAgent(AutonomousAgent):
         self.use_lidar_safe_check = True
         self.control = VehicleControl(brake=1.0)
         self.pred_wp: Optional[np.ndarray] = None
+        # pipelined_fetch: device arrays of the last dispatched forward,
+        # fetched on the NEXT compute frame (overlaps tunnel RTT with sim
+        # time; see ControllerConfig.pipelined_fetch)
+        self._pending: Optional[tuple] = None
 
     # ------------------------------------------------------------- ensemble
     def _build_ensemble(self, weight_files: List[str]) -> None:
@@ -309,7 +313,21 @@ class HybridAgent(AutonomousAgent):
                 tick_data["lidar"][:, :3])
             fwd_args += [jnp.asarray(bev_pts[None]),
                          jnp.asarray(cam_pts[None])]
-        wp, boxes, labels = self._forward(*fwd_args)
+        wp, boxes, _labels = self._forward(*fwd_args)
+        if ctrl.pipelined_fetch:
+            # Swap in the PREVIOUS compute frame's (already executing)
+            # outputs and let this frame's forward run while the sim
+            # advances — the fetch below then waits only on work that has
+            # had a full frame to complete.
+            pending, self._pending = self._pending, (wp, boxes)
+            if pending is None:
+                # pipeline priming: no result yet, hold the last control
+                self.gps_buffer.update(
+                    self.control.steer, self.control.throttle,
+                    self.control.brake > 0.5, tick_data["compass"],
+                    tick_data["speed"])
+                return self.control
+            wp, boxes = pending
         wp = np.asarray(wp)            # (n_models, 1, 4, 2)
         boxes = np.asarray(boxes)      # (n_models, 1, k, 8)
 

@@ -231,6 +231,13 @@ class ControllerConfig:
     gps_buffer_max_len: int = 100
     carla_fps: int = 20
     action_repeat: int = 2
+    # Overlap the device->host waypoint fetch with the next frame's
+    # dispatch: the control applied at frame N comes from the forward
+    # dispatched at frame N-2 (one compute frame older than the
+    # reference's, whose action repeat already applies each action for 2
+    # frames, submission_agent.py:252-254). Hides the tunnel RTT on
+    # remote-attached accelerators. Off = reference timing semantics.
+    pipelined_fetch: bool = False
     stuck_threshold: int = 550  # 1100 / action_repeat (config.py:157)
     creep_duration: int = 15  # 30 / action_repeat (config.py:158)
     iou_threshold_nms: float = 0.2

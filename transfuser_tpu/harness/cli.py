@@ -86,6 +86,13 @@ def main(argv: Optional[list] = None) -> int:
     if not args.routes:
         print("--routes (or env ROUTES) is required", file=sys.stderr)
         return 2
+    if args.agent != "hybrid":
+        # CPU-only agents (expert/datagen/npc/dummy) must never claim the
+        # TPU: the sitecustomize axon backend is process-global and a
+        # killed client wedges the chip claim for later processes
+        # (PERF_NOTES "axon tunnel sync semantics").
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.command == "datagen" and args.save_path:
         os.environ["SAVE_PATH"] = args.save_path
 
