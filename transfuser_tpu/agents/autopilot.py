@@ -46,6 +46,15 @@ def _obb3_intersect(center_a, extent_a, yaw_a, za, center_b, extent_b,
     """Upright-box intersection: 2D SAT + z-interval overlap."""
     if za[1] < zb[0] or zb[1] < za[0]:
         return False
+    # cheap circumscribed-circle reject before the full SAT: boxes whose
+    # center distance exceeds the sum of their half-diagonals cannot
+    # intersect (the forecast loop tests every nearby box every step)
+    dx = float(center_b[0]) - float(center_a[0])
+    dy = float(center_b[1]) - float(center_a[1])
+    ra = math.hypot(float(extent_a[0]), float(extent_a[1]))
+    rb = math.hypot(float(extent_b[0]), float(extent_b[1]))
+    if dx * dx + dy * dy > (ra + rb) ** 2:
+        return False
     ca = obb_corners(np.asarray(center_a, float), np.asarray(extent_a, float),
                      yaw_a)
     cb = obb_corners(np.asarray(center_b, float), np.asarray(extent_b, float),
@@ -384,10 +393,14 @@ class AutoPilot(AutonomousAgent):
             nearby_walkers.append(boxes)
 
         # Forecast vehicles (bicycle model under their current control).
+        # All nearby vehicles step through the batched bicycle model
+        # together — one forward() per horizon step instead of one per
+        # (vehicle, step); elementwise numerics are identical.
         nearby_vehicles: Dict[int, list] = {}
         stuck_ids: List[int] = []
         near_ids: List[int] = []
-        for veh in self._nearby("vehicle"):
+        vehs = self._nearby("vehicle")
+        for veh in vehs:
             near_ids.append(veh.actor_id)
             buf = self.vehicle_speed_buffer[veh.actor_id]
             buf["velocity"].append(veh.speed)
@@ -395,26 +408,29 @@ class AutoPilot(AutonomousAgent):
             buf["brake"].append(veh.control.brake)
             for k in buf:
                 buf[k] = buf[k][-self.stuck_buffer_size:]
-
-            loc = np.array([veh.transform.location.x,
-                            veh.transform.location.y])
-            yaw = np.array([math.radians(veh.transform.rotation.yaw)])
-            spd = np.array([veh.speed])
-            action = np.array([veh.control.steer, veh.control.throttle,
-                               veh.control.brake])
-            boxes = []
-            for _ in range(horizon):
-                loc, yaw, spd = self.vehicle_model.forward(loc, yaw, spd,
-                                                           action)
-                boxes.append((loc.copy(),
-                              np.array([veh.extent.x, veh.extent.y]),
-                              float(np.ravel(yaw)[0])))
-            nearby_vehicles[veh.actor_id] = boxes
             if buf["velocity"] and \
                     np.mean(buf["velocity"]) < self.stuck_vel_threshold and \
                     np.mean(buf["throttle"]) > self.stuck_throttle_threshold \
                     and np.mean(buf["brake"]) < self.stuck_brake_threshold:
                 stuck_ids.append(veh.actor_id)
+        if vehs:
+            locs = np.array([[v.transform.location.x,
+                              v.transform.location.y] for v in vehs])
+            yaws = np.array([[math.radians(v.transform.rotation.yaw)]
+                             for v in vehs])
+            spds = np.array([[v.speed] for v in vehs])
+            actions = np.array([[v.control.steer, v.control.throttle,
+                                 v.control.brake] for v in vehs])
+            extents = [np.array([v.extent.x, v.extent.y]) for v in vehs]
+            steps = []
+            for _ in range(horizon):
+                locs, yaws, spds = self.vehicle_model.forward(
+                    locs, yaws, spds, actions)
+                steps.append((locs, yaws))
+            for k, veh in enumerate(vehs):
+                nearby_vehicles[veh.actor_id] = [
+                    (locs_i[k].copy(), extents[k], float(yaws_i[k, 0]))
+                    for locs_i, yaws_i in steps]
 
         for dead in set(self.vehicle_speed_buffer) - set(near_ids):
             del self.vehicle_speed_buffer[dead]

@@ -27,16 +27,21 @@ class GPSBuffer:
     def update(self, steer: float, throttle: float, brake: bool,
                theta: float, speed: float) -> None:
         """Roll every buffered location forward one sim tick."""
-        yaw = np.array([theta - np.pi / 2.0])
-        spd = np.array([speed])
-        action = np.array([steer, throttle, float(brake)])
+        if not self.buffer:
+            return
+        # One batched bicycle-model step over every buffered fix
+        # (elementwise numerics identical to rolling them one by one;
+        # this ran once per entry per tick in the expert loop).
+        yaw = np.array([[theta - np.pi / 2.0]])
+        spd = np.array([[speed]])
+        action = np.array([[steer, throttle, float(brake)]])
+        locs = np.stack(list(self.buffer))
+        # Bicycle model uses a rotated coordinate system.
+        temp = np.stack([locs[:, 1], -locs[:, 0]], axis=1)
+        next_temp, _, _ = self.ego_model.forward(temp, yaw, spd, action)
+        out = np.stack([-next_temp[:, 1], next_temp[:, 0]], axis=1)
         for i in range(len(self.buffer)):
-            loc = self.buffer[i]
-            # Bicycle model uses a rotated coordinate system.
-            loc_temp = np.array([loc[1], -loc[0]])
-            next_temp, _, _ = self.ego_model.forward(loc_temp, yaw, spd,
-                                                     action)
-            self.buffer[i] = np.array([-next_temp[1], next_temp[0]])
+            self.buffer[i] = out[i]
 
     def denoised(self) -> np.ndarray:
         return np.mean(self.buffer, axis=0)

@@ -7,8 +7,9 @@ leg distances). CARLA 0.9.10 lat/lon scale constants.
 
 from __future__ import annotations
 
+import math
 from collections import deque
-from copy import deepcopy
+from itertools import islice
 from typing import Deque, List, Tuple
 
 import numpy as np
@@ -39,21 +40,32 @@ class RoutePlanner:
             self.route.append((pos, cmd))
 
     def run_step(self, gps: np.ndarray) -> Deque:
-        """Pop waypoints the vehicle has passed; returns the active route."""
+        """Pop waypoints the vehicle has passed; returns the active route.
+
+        Same per-waypoint scan as the reference (submission_agent.py:
+        628-646) — early break once the cumulative arclength passes
+        max_distance — but with scalar math.hypot instead of
+        np.linalg.norm on 2-vectors: this loop runs 20+ times per expert
+        tick (once per forecast step) and the tiny-array numpy overhead
+        dominated it."""
         if len(self.route) <= 2:
             self.is_last = True
             return self.route
 
+        gx, gy = float(gps[0]), float(gps[1])
         to_pop = 0
-        farthest_in_range = -np.inf
+        farthest_in_range = -math.inf
         cumulative_distance = 0.0
-        for i in range(1, len(self.route)):
+        px, py = (float(self.route[0][0][0]), float(self.route[0][0][1]))
+        for i, (p, _) in enumerate(islice(self.route, 1, None), 1):
             if cumulative_distance > self.max_distance:
                 break
-            cumulative_distance += np.linalg.norm(
-                self.route[i][0] - self.route[i - 1][0])
-            distance = np.linalg.norm(self.route[i][0] - gps)
-            if distance <= self.min_distance and distance > farthest_in_range:
+            x, y = float(p[0]), float(p[1])
+            cumulative_distance += math.hypot(x - px, y - py)
+            px, py = x, y
+            distance = math.hypot(x - gx, y - gy)
+            if distance <= self.min_distance \
+                    and distance > farthest_in_range:
                 farthest_in_range = distance
                 to_pop = i
 
@@ -63,8 +75,15 @@ class RoutePlanner:
         return self.route
 
     def save(self) -> None:
-        self.saved_route = deepcopy(self.route)
+        # Entries are immutable (ndarray, RoadOption) tuples and the
+        # arrays are never written in place (set_route builds fresh ones,
+        # run_step only pops) — a C-speed shallow deque copy is therefore
+        # equivalent to the reference's deepcopy (nav_planner.py save/
+        # load), which was 33% of expert-benchmark wall-clock.
+        self.saved_route = deque(self.route)
 
     def load(self) -> None:
-        self.route = self.saved_route
+        # Copy again so pops on the restored route never mutate the
+        # saved snapshot (deepcopy semantics, both directions).
+        self.route = deque(self.saved_route)
         self.is_last = False

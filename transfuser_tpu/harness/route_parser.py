@@ -180,6 +180,21 @@ def interpolate_trajectory(trajectory: List[Transform], hop: float = 1.0,
 
 def _interpolate_on_map(trajectory: List[Transform], town_map,
                         hop: float) -> List[Tuple[Transform, RoadOption]]:
+    # Drop INTERMEDIATE keypoints that lie inside a junction: several
+    # connectors share the junction interior, so projecting such a point
+    # to its nearest lane is ambiguous — snapping to the straight-through
+    # connector when the plan meant the turn re-routes the whole leg the
+    # long way around. The keypoints on either side of the junction
+    # determine the correct connector via the shortest-hop BFS.
+    # (Downsampled plans put a command-change keypoint AT the junction
+    # entry, route_manipulation.py:86-131, so this case is the norm.)
+    if len(trajectory) > 2:
+        kept = [trajectory[0]]
+        kept += [t for t in trajectory[1:-1]
+                 if not town_map.is_junction(t.location.x, t.location.y)]
+        kept.append(trajectory[-1])
+        if len(kept) >= 2:
+            trajectory = kept
     pts: List[Transform] = []
     for a, b in zip(trajectory[:-1], trajectory[1:]):
         try:

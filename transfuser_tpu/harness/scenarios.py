@@ -71,6 +71,17 @@ class ScenarioBehavior:
         if not self.triggered:
             d = math.hypot(ego.x - self.trigger.location.x,
                            ego.y - self.trigger.location.y)
+            if d >= self.TRIGGER_DISTANCE:
+                # A pre-spawned VEHICLE adversary parked on a live lane
+                # also wakes when the ego closes on the actor itself —
+                # on looping routes the trigger arm may be unreachable
+                # while the parked car blocks the ego's own approach
+                # (srunner scenarios engage as the ego nears the hazard).
+                a = self._actor(sim)
+                if a is None or not a.type_id.startswith("vehicle"):
+                    return
+                d = math.hypot(ego.x - a.transform.location.x,
+                               ego.y - a.transform.location.y)
             if d < self.TRIGGER_DISTANCE:
                 self.triggered = True
                 self.on_trigger(sim)

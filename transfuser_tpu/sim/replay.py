@@ -24,6 +24,24 @@ from ..geometry import EgoModel
 from .types import BoundingBox, Location, Rotation, Transform, VehicleControl
 
 
+class _LazyFrame(dict):
+    """Sensor-frame dict whose expensive entries (cameras, lidar) are
+    synthesized on first __getitem__ — agents that never read them never
+    pay for the synthesis."""
+
+    def __init__(self, base: Dict[str, Any], lazy: Dict[str, Any]):
+        super().__init__(base)
+        self._lazy = lazy
+
+    def __getitem__(self, key):
+        if not dict.__contains__(self, key) and key in self._lazy:
+            self[key] = self._lazy[key]()
+        return dict.__getitem__(self, key)
+
+    def __contains__(self, key):
+        return super().__contains__(key) or key in self._lazy
+
+
 @dataclass
 class Actor:
     actor_id: int
@@ -173,14 +191,24 @@ class ReplaySimulation:
 
     def _detect_collisions(self) -> None:
         from ..geometry import obb_corners, obb_intersect
+        ex = self.ego_transform.location.x
+        ey = self.ego_transform.location.y
+        ego_r = math.hypot(self.ego_extent.x, self.ego_extent.y)
         ego_c = obb_corners(
-            np.array([self.ego_transform.location.x,
-                      self.ego_transform.location.y]),
+            np.array([ex, ey]),
             np.array([self.ego_extent.x, self.ego_extent.y]),
             math.radians(self.ego_transform.rotation.yaw))
         self.collision_events = []
         for actor in self.actors:
             if actor.type_id.startswith("traffic_light"):
+                continue
+            # circumscribed-circle reject: boxes further apart than the
+            # sum of their half-diagonals cannot intersect (full SAT on
+            # every actor every tick dominated dense-traffic runs)
+            dx = actor.transform.location.x - ex
+            dy = actor.transform.location.y - ey
+            r = ego_r + math.hypot(actor.extent.x, actor.extent.y)
+            if dx * dx + dy * dy > r * r:
                 continue
             a_c = obb_corners(
                 np.array([actor.transform.location.x,
@@ -192,30 +220,39 @@ class ReplaySimulation:
 
     # -------------------------------------------------------------- sensors
     def sensor_frame(self) -> Dict[str, Any]:
-        """Raw data for the current frame, keyed by canonical sensor kind."""
+        """Raw data for the current frame, keyed by canonical sensor kind.
+
+        Camera and lidar synthesis is LAZY — materialized on first
+        access, so agents whose sensor suite omits them (the privileged
+        expert uses only imu/gnss/speed) never pay for it. Synthesizing
+        three unread camera frames per tick was ~25% of dense-traffic
+        benchmark wall-clock."""
         if self.recorded is not None:
             idx = min(self.frame, len(self.recorded) - 1)
             return self.recorded[idx]
         h, w = self._camera_shape
-        from .sensors import rain_dropoff, synth_lidar
-        lidar = synth_lidar(self, ground_points=self._lidar_points,
-                            rng=self._rng)
-        dropoff = self._lidar_dropoff + rain_dropoff(self.weather)
-        if dropoff > 0.0:
-            # eval-profile general dropoff (agent_wrapper_local.py:133-138)
-            # plus atmospheric attenuation under rain presets
-            keep = self._rng.random(lidar.shape[0]) >= dropoff
-            lidar = lidar[keep]
-        frame = {
-            "rgb": self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
-            "rgb_left": self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
-            "rgb_right": self._rng.integers(0, 255, (h, w, 3),
-                                            dtype=np.uint8),
-            "lidar": lidar,
+
+        def make_rgb():
+            return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+        def make_lidar():
+            from .sensors import rain_dropoff, synth_lidar
+            lidar = synth_lidar(self, ground_points=self._lidar_points,
+                                rng=self._rng)
+            dropoff = self._lidar_dropoff + rain_dropoff(self.weather)
+            if dropoff > 0.0:
+                # eval-profile general dropoff (agent_wrapper_local.py:
+                # 133-138) plus atmospheric attenuation under rain presets
+                keep = self._rng.random(lidar.shape[0]) >= dropoff
+                lidar = lidar[keep]
+            return lidar
+
+        frame = _LazyFrame({
             "gps": self._gps(),
             "imu": self._imu(),
             "speed": {"speed": self.ego_speed},
-        }
+        }, {"rgb": make_rgb, "rgb_left": make_rgb, "rgb_right": make_rgb,
+            "lidar": make_lidar})
         return frame
 
     def _imu(self) -> np.ndarray:

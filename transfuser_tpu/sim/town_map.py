@@ -54,17 +54,27 @@ class Lane:
         seg_len = np.hypot(seg[:, 0], seg[:, 1])
         self._cum = np.concatenate([[0.0], np.cumsum(seg_len)])
         self.length = float(self._cum[-1])
+        # scalar fast-path tables (python floats): position() runs once
+        # per managed vehicle per tick — numpy scalar overhead dominated
+        # dense-traffic simulation
+        self._cum_list = self._cum.tolist()
+        self._pts_list = [(float(p[0]), float(p[1]))
+                          for p in self.centerline]
 
     def position(self, s: float) -> Tuple[np.ndarray, float]:
         """(xy, yaw_deg) at arclength s (clamped)."""
+        import bisect
         s = min(max(s, 0.0), self.length)
-        i = int(np.searchsorted(self._cum, s, side="right") - 1)
-        i = min(max(i, 0), len(self.centerline) - 2)
-        seg = self.centerline[i + 1] - self.centerline[i]
-        seg_len = float(np.hypot(seg[0], seg[1])) or 1e-9
-        t = (s - self._cum[i]) / seg_len
-        xy = self.centerline[i] + np.clip(t, 0.0, 1.0) * seg
-        yaw = math.degrees(math.atan2(seg[1], seg[0]))
+        i = bisect.bisect_right(self._cum_list, s) - 1
+        i = min(max(i, 0), len(self._pts_list) - 2)
+        ax, ay = self._pts_list[i]
+        bx, by = self._pts_list[i + 1]
+        sx, sy = bx - ax, by - ay
+        seg_len = math.hypot(sx, sy) or 1e-9
+        t = (s - self._cum_list[i]) / seg_len
+        t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+        xy = np.array([ax + t * sx, ay + t * sy])
+        yaw = math.degrees(math.atan2(sy, sx))
         return xy, yaw
 
     def project(self, x: float, y: float) -> Tuple[float, float]:

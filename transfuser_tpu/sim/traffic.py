@@ -64,6 +64,7 @@ class ManagedVehicle:
     target_speed: float
     next_lane: Optional[int] = None  # chosen successor (persists per lane)
     speed: float = 0.0
+    blocked_time: float = 0.0  # seconds stuck behind a stationary leader
 
 
 class TrafficManager:
@@ -140,24 +141,36 @@ class TrafficManager:
         # connector lanes), so background cars brake for them instead of
         # driving through (CARLA TM's collision detection covers all
         # registered actors).
-        def occupy(x: float, y: float, half_len: float,
-                   half_wid: float) -> None:
+        def occupy(x: float, y: float, ext_x: float, ext_y: float,
+                   yaw_deg: float) -> None:
+            # Project the actor's ORIENTED box onto each nearby lane: a
+            # lane-aligned car only claims its own lane (lateral half
+            # extent = half width), a perpendicular crossing car claims
+            # what its length actually sweeps. A symmetric max(x, y)
+            # footprint made one parked adversary block both lanes of a
+            # two-lane road.
             for lane in self.map.lanes_near(x, y, radius=2.0 * 3.5):
                 s, lat = lane.project(x, y)
-                if abs(lat) <= 0.5 * lane.width + half_wid:
+                _, lane_yaw = lane.position(s)
+                d = math.radians(yaw_deg - lane_yaw)
+                c, sn = abs(math.cos(d)), abs(math.sin(d))
+                half_lat = c * ext_y + sn * ext_x
+                half_s = c * ext_x + sn * ext_y
+                if abs(lat) <= 0.5 * lane.width + half_lat:
                     occupancy.setdefault(lane.lane_id, []).append(
-                        (s, half_len))
+                        (s, half_s))
 
         occupy(sim.ego_transform.location.x, sim.ego_transform.location.y,
-               sim.ego_extent.x, sim.ego_extent.y)
+               sim.ego_extent.x, sim.ego_extent.y,
+               sim.ego_transform.rotation.yaw)
         for actor in sim.actors:
             t = actor.type_id
             if actor.actor_id in managed_ids or not (
                     t.startswith("vehicle") or t.startswith("walker")):
                 continue
             occupy(actor.transform.location.x, actor.transform.location.y,
-                   float(actor.extent.x),
-                   max(actor.extent.x, actor.extent.y))
+                   float(actor.extent.x), float(actor.extent.y),
+                   actor.transform.rotation.yaw)
 
         for mv in self.vehicles:
             desired = mv.target_speed
@@ -169,7 +182,29 @@ class TrafficManager:
                     desired = 0.0 if gap < self.MIN_GAP else \
                         mv.speed * (gap - self.MIN_GAP) / max(
                             safe - self.MIN_GAP, 1e-3)
+            # Auto lane change around long-stationary blockers (CARLA
+            # TM's lane-change behavior): without it a single parked
+            # scenario adversary necroses its road and gridlocks the
+            # town — queues behind it never drain.
+            if gap is not None and gap < self.MIN_GAP + 0.5 \
+                    and mv.speed < 0.3:
+                mv.blocked_time += dt
+                if mv.blocked_time > 4.0 \
+                        and self._try_lane_change(mv, occupancy):
+                    gap = self._leader_gap(mv, occupancy)
+                    desired = mv.target_speed
+            else:
+                mv.blocked_time = 0.0
             dist_red = self._red_light_distance(mv)
+            if dist_red is None:
+                # Junction admission: treat a blocked junction ahead like
+                # a red light at the stop line. A vehicle only enters a
+                # connector that is empty (one at a time — and the EGO's
+                # occupancy counts, so background traffic yields to an
+                # ego mid-junction) and whose exit has standing room;
+                # stopping INSIDE a junction is what gridlocks dense
+                # towns (CARLA TM's equivalent junction management).
+                dist_red = self._junction_entry_stop(mv, occupancy)
             if dist_red is not None:
                 # comfortable stop at the line: v^2 <= 2 b d
                 v_allow = math.sqrt(max(
@@ -181,16 +216,27 @@ class TrafficManager:
             else:
                 mv.speed = max(mv.speed - self.BRAKE * dt, desired, 0.0)
 
+            yaw_before = mv.actor.transform.rotation.yaw
             self._advance(mv, mv.speed * dt)
             xy, yaw = self.map.lanes[mv.lane_id].position(mv.s)
             mv.actor.transform = Transform(
                 Location(float(xy[0]), float(xy[1])), Rotation(yaw=yaw))
             mv.actor.speed = mv.speed
-            # privileged dynamic state for the expert's forecasting
+            # privileged dynamic state for the expert's forecasting:
+            # publish the steering a bicycle model would need to produce
+            # the observed yaw rate, so forecasts curve through junctions
+            # the way the vehicle actually will instead of extrapolating
+            # straight across the ego's path (submission_agent forecasts
+            # other vehicles under their current control).
+            steer = 0.0
+            if mv.speed > 0.5 and dt > 0.0:
+                dyaw = math.radians(
+                    (yaw - yaw_before + 540.0) % 360.0 - 180.0) / dt
+                steer = self._steer_for_yaw_rate(dyaw, mv.speed)
             mv.actor.control = VehicleControl(
                 throttle=0.75 if mv.speed < desired - 0.1 else 0.0,
                 brake=1.0 if (desired < 0.1 and mv.speed < 0.5) else 0.0,
-                steer=0.0)
+                steer=steer)
 
     def _advance(self, mv: ManagedVehicle, dist: float) -> None:
         lane = self.map.lanes[mv.lane_id]
@@ -237,6 +283,76 @@ class TrafficManager:
             if base > self.LOOKAHEAD:
                 break
         return best
+
+    def _try_lane_change(self, mv: ManagedVehicle,
+                         occupancy: Dict[int, List[Tuple[float, float]]]
+                         ) -> bool:
+        """Move to a same-direction adjacent lane whose corresponding
+        stretch is free; True on success. Occupancy includes the ego and
+        external actors, so a change never lands on (or right in front
+        of) them."""
+        lane = self.map.lanes[mv.lane_id]
+        x, y = (mv.actor.transform.location.x,
+                mv.actor.transform.location.y)
+        for nb in (lane.left_neighbor, lane.right_neighbor):
+            if nb is None or nb not in self.map.lanes:
+                continue
+            nb_lane = self.map.lanes[nb]
+            if nb_lane.is_junction:
+                continue
+            s, _ = nb_lane.project(x, y)
+            back = 2.0 * mv.actor.extent.x + self.MIN_GAP
+            fwd = back + self.MIN_GAP
+            clear = all(s_o + half < s - back or s_o - half > s + fwd
+                        for s_o, half in occupancy.get(nb, ()))
+            if clear:
+                mv.lane_id = int(nb)
+                mv.s = min(s, nb_lane.length)
+                self._choose_next(mv)
+                mv.blocked_time = 0.0
+                return True
+        return False
+
+    def _junction_entry_stop(self, mv: ManagedVehicle,
+                             occupancy: Dict[int, List[Tuple[float, float]]]
+                             ) -> Optional[float]:
+        """Distance to the junction entry line when the connector ahead
+        must not be entered yet (occupied, or exit lacks standing room);
+        None when entry is allowed or no junction is ahead."""
+        lane = self.map.lanes[mv.lane_id]
+        if lane.is_junction or mv.next_lane is None:
+            return None
+        dist = lane.length - mv.s
+        if dist > self.LOOKAHEAD:
+            return None
+        conn = self.map.lanes[mv.next_lane]
+        if not conn.is_junction:
+            return None
+        if occupancy.get(mv.next_lane):
+            return dist  # connector occupied (possibly by the ego)
+        succ = conn.successors
+        if succ:
+            need = 2.0 * mv.actor.extent.x + self.MIN_GAP
+            for s_o, half in occupancy.get(int(succ[0]), ()):
+                if s_o - half < need:
+                    return dist  # exit lane has no standing room
+        return None
+
+    _STEER_MODEL = None
+
+    def _steer_for_yaw_rate(self, yaw_rate: float, speed: float) -> float:
+        """Invert the World-on-Rails bicycle model: the steer action that
+        yields `yaw_rate` at `speed` (so expert forecasts of this vehicle
+        follow its actual curved path)."""
+        from ..geometry import EgoModel
+        if TrafficManager._STEER_MODEL is None:
+            TrafficManager._STEER_MODEL = EgoModel()
+        m = TrafficManager._STEER_MODEL
+        sin_beta = max(-0.99, min(0.99, yaw_rate * m.rear_wb / speed))
+        beta = math.asin(sin_beta)
+        tan_wheel = math.tan(beta) * (m.front_wb + m.rear_wb) / m.rear_wb
+        steer = math.atan(tan_wheel) / m.steer_gain
+        return max(-1.0, min(1.0, steer))
 
     def _red_light_distance(self, mv: ManagedVehicle) -> Optional[float]:
         """Distance to the stop line of a non-green light governing the
