@@ -212,6 +212,67 @@ def topology_walks(graph: TownGraph, max_len: float = 380.0,
     return walks
 
 
+def _keypoints(points: Sequence[Tuple[float, float, float]],
+               spacing: float = 25.0) -> List[Tuple[float, float, float]]:
+    """Sparse route keypoints every ~`spacing` m along a dense polyline
+    (the densifier — harness.route_parser.interpolate_trajectory — routes
+    along the lane graph between consecutive keypoints)."""
+    out = [points[0]]
+    acc = 0.0
+    for prev, p in zip(points, points[1:]):
+        acc += math.hypot(p[0] - prev[0], p[1] - prev[1])
+        if acc >= spacing:
+            out.append(p)
+            acc = 0.0
+    if out[-1] != points[-1]:
+        out.append(points[-1])
+    return out
+
+
+def long_routes(graph: TownGraph, n: int = 36,
+                target_len: float = 1200.0, seed: int = 0
+                ) -> List[List[Tuple[float, float, float]]]:
+    """Longest6-style long multi-junction routes: seeded random successor
+    walks over the topology until `target_len` metres, turn choice
+    randomized at each junction, deduped by endpoint+length signature.
+
+    Reference shape: leaderboard/data/longest6/README.md — 36 routes
+    averaging ~1.5 km, each crossing many junctions under dense traffic."""
+    rng = np.random.default_rng(seed)
+    starts = [i for i, e in enumerate(graph.edges)
+              if not e.is_junction and e.points]
+    out: List[List[Tuple[float, float, float]]] = []
+    seen = set()
+    attempts = 0
+    while len(out) < n and attempts < n * 50:
+        attempts += 1
+        cur = int(starts[int(rng.integers(len(starts)))])
+        pts = list(graph.edges[cur].points)
+        length = _length(pts)
+        hops = 0
+        while length < target_len and hops < 120:
+            hops += 1
+            succs = graph.edges[cur].successors
+            if not succs:
+                break
+            cur = int(succs[int(rng.integers(len(succs)))])
+            seg = graph.edges[cur].points
+            if seg:
+                length += math.hypot(seg[0][0] - pts[-1][0],
+                                     seg[0][1] - pts[-1][1])
+                length += _length(seg)
+                pts.extend(seg)
+        if length < 0.6 * target_len:
+            continue
+        sig = (round(pts[0][0]), round(pts[0][1]),
+               round(pts[-1][0]), round(pts[-1][1]), round(length, -1))
+        if sig in seen:
+            continue
+        seen.add(sig)
+        out.append(_keypoints(pts))
+    return out
+
+
 def _turn_of(edge: TopologyEdge) -> str:
     """Classify a junction connector by signed yaw delta."""
     d = (edge.points[-1][2] - edge.points[0][2] + 540.0) % 360.0 - 180.0
