@@ -1,0 +1,47 @@
+"""Closed-loop trend line: a TRAINED model on the Longest6-shaped
+hermetic benchmark — the counterpart of `results/longest6.json` (the
+reference's trained-ensemble Longest6 score) next to the expert's
+`results/autopilot_longest6_hermetic.json`.
+
+Drives the HybridAgent (TPU inference stack, pinned to CPU here — the
+hermetic sim is host-side) over the SAME routes the expert benchmark
+generates, so the two artifacts are directly comparable.
+
+Usage:
+    PYTHONPATH=$PYTHONPATH:. python experiments/longest6_trained.py \
+        --model <dir with model_*.msgpack + config.json> \
+        [--routes 12] [--out results/trained_longest6_hermetic.json]
+"""
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True)
+    p.add_argument("--routes", type=int, default=12,
+                   help="route-count subset (CPU inference is slow)")
+    p.add_argument("--out", default="results/trained_longest6_hermetic.json")
+    p.add_argument("--background", type=int, default=200)
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from transfuser_tpu.agents.hybrid_agent import HybridAgent
+    from transfuser_tpu.tools.expert_benchmark import run_expert_benchmark
+
+    def factory(cfg):
+        return HybridAgent(args.model)
+
+    scores = run_expert_benchmark(
+        args.out, n_routes=args.routes, town_spec="grid:4x100x2",
+        background_vehicles=args.background, longest6=True,
+        agent_factory=factory, resume=True)
+    print(json.dumps(scores))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
