@@ -211,8 +211,24 @@ class AutoPilot(AutonomousAgent):
         sim = self.sim
         brake = self._get_brake()
 
-        self.junction = sim.is_junction(sim.ego_transform.location) \
-            if sim else False
+        # Junction flag with an 8 m heading lookahead: the long forecast
+        # horizon must engage on the APPROACH, not only once inside —
+        # with the 1 s no-junction horizon the ego brakes for a crossing
+        # vehicle too late and its nose ends up inside the crosser's
+        # swept path (mutual stand-off the blocked criterion then
+        # converts into a DNF). Reference surface: autopilot.py junction
+        # detection via the ego waypoint; the lookahead is a deliberate
+        # robustness extension for dense traffic.
+        if sim:
+            loc = sim.ego_transform.location
+            yaw_r = math.radians(sim.ego_transform.rotation.yaw)
+            from ..sim.types import Location as _Loc
+            ahead = _Loc(loc.x + 8.0 * math.cos(yaw_r),
+                         loc.y + 8.0 * math.sin(yaw_r))
+            self.junction = (sim.is_junction(loc)
+                             or sim.is_junction(ahead))
+        else:
+            self.junction = False
         speed = float(input_data["speed"][1]["speed"])
         target_speed = self.target_speed_slow if self.junction \
             else self.target_speed_fast

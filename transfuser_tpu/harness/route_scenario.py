@@ -91,8 +91,25 @@ class RouteScenario:
             self.sim.traffic = tm
         else:
             self.sim.actors.extend(self._build_background_traffic())
+        # Distinct scenario types can sample the SAME junction approach
+        # (Scenario4/7/8/9 trigger pools overlap) — two adversaries
+        # stacked on one spawn overlap from t=0 and ram the ego together
+        # when woken. Keep the first behavior per spawn spot, drop the
+        # rest (srunner's scenario sampling likewise picks one scenario
+        # per trigger location, route_scenario_local.py:_scenario_sampling).
+        spawned_at: List[Tuple[float, float]] = []
+        kept = []
         for behavior in self.behaviors:
-            self.sim.actors.extend(behavior.setup(self.sim))
+            actors = behavior.setup(self.sim)
+            spots = [(a.transform.location.x, a.transform.location.y)
+                     for a in actors]
+            if any(math.hypot(x - px, y - py) < 3.0
+                   for x, y in spots for px, py in spawned_at):
+                continue  # stacked spawn: this behavior never runs
+            spawned_at.extend(spots)
+            kept.append(behavior)
+            self.sim.actors.extend(actors)
+        self.behaviors = kept
 
         route_tfs = [tf for tf, _ in self.dense_route]
         self._completion = RouteCompletionTest(route_tfs)

@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..geometry import obb_corners, obb_intersect
 from .replay import Actor, ReplaySimulation
 from .town_map import TownMap, TrafficLightSpec
 from .types import Location, Rotation, Transform, VehicleControl
@@ -75,6 +76,8 @@ class TrafficManager:
     MIN_GAP = 5.0       # bumper gap at standstill
     HEADWAY = 1.2       # seconds
     LOOKAHEAD = 40.0    # meters for leader/light search
+    SWEEP_HALF_WIDTH = 1.5  # half-width of the corridor a lane-following
+    #                         vehicle sweeps (body 1.06 + margin)
 
     def __init__(self, town_map: TownMap, seed: int = 0,
                  controller: Optional[TrafficLightController] = None):
@@ -132,7 +135,7 @@ class TrafficManager:
         managed_ids = set()
         for mv in self.vehicles:
             occupancy.setdefault(mv.lane_id, []).append(
-                (mv.s, mv.actor.extent.x))
+                (mv.s, mv.actor.extent.x, mv.speed))
             managed_ids.add(mv.actor.actor_id)
 
         # Non-managed road users — the EGO, crossing walkers (Scenario3/4)
@@ -142,7 +145,7 @@ class TrafficManager:
         # driving through (CARLA TM's collision detection covers all
         # registered actors).
         def occupy(x: float, y: float, ext_x: float, ext_y: float,
-                   yaw_deg: float) -> None:
+                   yaw_deg: float, speed: float) -> None:
             # Project the actor's ORIENTED box onto each nearby lane: a
             # lane-aligned car only claims its own lane (lateral half
             # extent = half width), a perpendicular crossing car claims
@@ -156,13 +159,30 @@ class TrafficManager:
                 c, sn = abs(math.cos(d)), abs(math.sin(d))
                 half_lat = c * ext_y + sn * ext_x
                 half_s = c * ext_x + sn * ext_y
-                if abs(lat) <= 0.5 * lane.width + half_lat:
-                    occupancy.setdefault(lane.lane_id, []).append(
-                        (s, half_s))
+                # Block the lane only if the actor's box TRULY overlaps
+                # the corridor a centerline-driving vehicle sweeps (body
+                # half-width + margin), not the full paved width: an ego
+                # whose corner grazes a connector's edge must not freeze
+                # the car turning through it (mutual ego<->TM standoffs
+                # at junction entries were the #1 agent-blocked cause at
+                # Longest6 density). Cheap projected-extent reject
+                # first; exact OBB-vs-corridor SAT on the borderline.
+                if abs(lat) <= self.SWEEP_HALF_WIDTH + half_lat:
+                    cxy, cyaw = lane.position(s)
+                    corridor = obb_corners(
+                        cxy, np.array([half_s + 1.0, 1.26]),
+                        math.radians(cyaw))
+                    box = obb_corners(
+                        np.array([x, y]),
+                        np.array([ext_x + 0.2, ext_y + 0.2]),
+                        math.radians(yaw_deg))
+                    if obb_intersect(corridor, box):
+                        occupancy.setdefault(lane.lane_id, []).append(
+                            (s, half_s, speed))
 
         occupy(sim.ego_transform.location.x, sim.ego_transform.location.y,
                sim.ego_extent.x, sim.ego_extent.y,
-               sim.ego_transform.rotation.yaw)
+               sim.ego_transform.rotation.yaw, sim.ego_speed)
         for actor in sim.actors:
             t = actor.type_id
             if actor.actor_id in managed_ids or not (
@@ -170,7 +190,7 @@ class TrafficManager:
                 continue
             occupy(actor.transform.location.x, actor.transform.location.y,
                    float(actor.extent.x), float(actor.extent.y),
-                   actor.transform.rotation.yaw)
+                   actor.transform.rotation.yaw, float(actor.speed))
 
         for mv in self.vehicles:
             desired = mv.target_speed
@@ -186,9 +206,9 @@ class TrafficManager:
             # TM's lane-change behavior): without it a single parked
             # scenario adversary necroses its road and gridlocks the
             # town — queues behind it never drain.
-            if gap is not None and gap < self.MIN_GAP + 0.5 \
-                    and mv.speed < 0.3:
-                mv.blocked_time += dt
+            if gap is not None and gap < self.MIN_GAP + 0.5:
+                if mv.speed < 0.3:
+                    mv.blocked_time += dt
                 if mv.blocked_time > 4.0 \
                         and self._try_lane_change(mv, occupancy):
                     gap = self._leader_gap(mv, occupancy)
@@ -210,6 +230,17 @@ class TrafficManager:
                 v_allow = math.sqrt(max(
                     2.0 * self.BRAKE * max(dist_red - 1.0, 0.0), 0.0))
                 desired = min(desired, v_allow if dist_red > 1.0 else 0.0)
+
+            # Junction push-through: a vehicle wedged INSIDE a junction
+            # behind a stationary GRAZE (occupancy overlap with real
+            # physical room left) noses past at walking speed after a
+            # few seconds instead of deadlocking. The classic standoff:
+            # the ego stops at an entry waiting for a turning car whose
+            # connector exit the ego's corner clips — each would wait on
+            # the other forever (the blocked criterion fires at 180 s).
+            if (mv.blocked_time > 6.0 and gap is not None and gap > 0.3
+                    and self.map.lanes[mv.lane_id].is_junction):
+                desired = max(desired, 1.2)
 
             if mv.speed < desired:
                 mv.speed = min(mv.speed + self.ACCEL * dt, desired)
@@ -271,7 +302,7 @@ class TrafficManager:
         best: Optional[float] = None
         for li, lid in enumerate(self._chain(mv)):
             lane = self.map.lanes[lid]
-            for s_o, half_len in occupancy.get(lid, ()):
+            for s_o, half_len, _spd in occupancy.get(lid, ()):
                 ahead = base + s_o
                 if li == 0 and ahead <= 1e-6:
                     continue  # behind us on our own lane (or ourselves)
@@ -304,7 +335,7 @@ class TrafficManager:
             back = 2.0 * mv.actor.extent.x + self.MIN_GAP
             fwd = back + self.MIN_GAP
             clear = all(s_o + half < s - back or s_o - half > s + fwd
-                        for s_o, half in occupancy.get(nb, ()))
+                        for s_o, half, _spd in occupancy.get(nb, ()))
             if clear:
                 mv.lane_id = int(nb)
                 mv.s = min(s, nb_lane.length)
@@ -328,12 +359,19 @@ class TrafficManager:
         conn = self.map.lanes[mv.next_lane]
         if not conn.is_junction:
             return None
-        if occupancy.get(mv.next_lane):
-            return dist  # connector occupied (possibly by the ego)
+        for _s_o, _half, spd in occupancy.get(mv.next_lane, ()):
+            if spd < 1.0:
+                # a (near-)stationary occupant — possibly a stopped ego
+                # — means entering would strand this car inside too;
+                # MOVING occupants are fine to follow (platooning
+                # through junctions keeps throughput at CARLA-TM levels;
+                # strict one-at-a-time entry let queues outlast the
+                # evaluator's 180 s blocked criterion)
+                return dist
         succ = conn.successors
         if succ:
             need = 2.0 * mv.actor.extent.x + self.MIN_GAP
-            for s_o, half in occupancy.get(int(succ[0]), ()):
+            for s_o, half, _spd in occupancy.get(int(succ[0]), ()):
                 if s_o - half < need:
                     return dist  # exit lane has no standing room
         return None
