@@ -87,6 +87,75 @@ def program_flops(jitted, *args) -> float:
     return float(ca.get("flops", 0.0))
 
 
+def measure_real_data(trainer, state, cfg, batch_size: int, data_dir: str):
+    """Train-step throughput fed by the SHIPPED input pipeline over
+    datagen-written data — the end-to-end number that includes host decode
+    (reference surface: the 8-worker pinned DataLoader, train.py:156-163,
+    which existed precisely to keep the accelerator fed).
+
+    Reports two modes:
+      * aug:    augmentation on, no sample cache — the true training path;
+      * cached: augment off + pre-warmed npz cache — the shipped fast mode.
+    `wait_frac` is the fraction of wall-clock the dispatch loop spent
+    BLOCKED on the loader (loader-bound when high)."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    from transfuser_tpu.data.dataset import CarlaDataset
+    from transfuser_tpu.data.loader import PrefetchLoader
+
+    def one_epoch(loader, state):
+        kept = None
+        n = 0
+        wait = 0.0
+        t0 = time.perf_counter()
+        it = iter(loader)
+        while True:
+            tw = time.perf_counter()
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            wait += time.perf_counter() - tw
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = trainer.train_step(state, batch)
+            kept = metrics["loss_total"]
+            n += batch_size
+        loss = fetch(kept)
+        dt = time.perf_counter() - t0
+        if not np.isfinite(loss):
+            raise RuntimeError(f"non-finite loss on real data: {loss}")
+        return state, n / dt, wait / dt, n
+
+    out = {}
+    ds_aug = CarlaDataset([data_dir], cfg, augment=True)
+    if len(ds_aug) < batch_size:
+        log(f"real-data: only {len(ds_aug)} samples in {data_dir}; skip")
+        return None
+    loader = PrefetchLoader(ds_aug, batch_size, shuffle=True, num_workers=4)
+    # warm the step program/caches outside the timed epochs
+    state, _, _, _ = one_epoch(loader, state)
+    state, sps, wait_frac, n = one_epoch(loader, state)
+    out["real_sps_aug"] = round(sps, 2)
+    out["real_wait_frac_aug"] = round(wait_frac, 3)
+    log(f"real-data aug: {sps:.1f} samples/s, loader-wait "
+        f"{100 * wait_frac:.0f}% ({n} samples)")
+
+    cache_dir = os.path.join(data_dir, "_bench_npz_cache")
+    shutil.rmtree(cache_dir, ignore_errors=True)
+    ds_c = CarlaDataset([data_dir], cfg, augment=False, cache=cache_dir)
+    loader = PrefetchLoader(ds_c, batch_size, shuffle=True, num_workers=4)
+    state, _, _, _ = one_epoch(loader, state)  # populates the cache
+    state, sps, wait_frac, n = one_epoch(loader, state)
+    out["real_sps_cached"] = round(sps, 2)
+    out["real_wait_frac_cached"] = round(wait_frac, 3)
+    out["real_n_samples"] = len(ds_aug)
+    log(f"real-data cached: {sps:.1f} samples/s, loader-wait "
+        f"{100 * wait_frac:.0f}%")
+    return out
+
+
 def main() -> None:
     import dataclasses
 
@@ -197,23 +266,36 @@ def main() -> None:
     # the LAST step's loss cannot complete before the chip has executed
     # every step in the chain — truthful without serializing the pipeline
     # on a per-step device->host round trip. All per-step losses are
-    # fetched after the clock stops and must be finite.
-    n_steps = 30
-    kept = []
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = trainer.train_step(state, batch)
-        kept.append(metrics["loss_total"])
-    fetch(kept[-1])
-    dt = time.perf_counter() - t0
-    losses = [fetch(l) for l in kept]
-    train_sps = batch_size * n_steps / dt
+    # fetched after the clock stops and must be finite. Three timed
+    # chains; the MEDIAN is reported (run-to-run swing on this host is
+    # ~6%, PERF_NOTES "idle host" caveat).
+    n_steps, n_reps = 30, 3
+    losses = []
+    rep_sps = []
+    rep_dts = []
+    for rep in range(n_reps):
+        kept = []
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = trainer.train_step(state, batch)
+            kept.append(metrics["loss_total"])
+        fetch(kept[-1])
+        dt = time.perf_counter() - t0
+        losses = [fetch(l) for l in kept]
+        rep_dts.append(dt)
+        rep_sps.append(batch_size * n_steps / dt)
+        log(f"rep {rep}: {n_steps} steps in {dt:.2f}s -> "
+            f"{rep_sps[-1]:.1f} samples/s, "
+            f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+        if not all(np.isfinite(l) for l in losses):
+            raise RuntimeError("non-finite loss during timed steps")
+    dt = float(np.median(rep_dts))
+    train_sps = float(np.median(rep_sps))
     mfu = flops_step * n_steps / dt / peak
     mfu_useful = flops_useful * n_steps / dt / peak
-    log(f"{n_steps} steps in {dt:.2f}s -> {train_sps:.1f} samples/s, "
-        f"MFU {100 * mfu:.1f}%, loss {losses[0]:.4f} -> {losses[-1]:.4f}")
-    if not all(np.isfinite(l) for l in losses):
-        raise RuntimeError("non-finite loss during timed steps")
+    log(f"median of {n_reps}: {train_sps:.1f} samples/s, "
+        f"MFU {100 * mfu:.1f}% (runs: "
+        f"{', '.join(f'{s:.1f}' for s in rep_sps)})")
     if mfu > 1.0:
         raise RuntimeError(
             f"implied FLOP rate {flops_step * n_steps / dt / 1e12:.0f} "
@@ -230,12 +312,28 @@ def main() -> None:
     rtt_ms = (time.perf_counter() - t0) * 100.0
     log(f"device->host RTT ~{rtt_ms:.1f} ms (included in timings above)")
 
+    # --- Real-data throughput (shipped loader over datagen-written data).
+    # Opt in with --real-data=<dir>; a default dir is picked up when
+    # present so the driver-run bench carries the input-pipeline number.
+    real_dir = next((f.split("=", 1)[1] for f in flags
+                     if f.startswith("--real-data=")), None)
+    if real_dir is None and os.path.isdir("/tmp/bench_realdata"):
+        real_dir = "/tmp/bench_realdata"
+    real = None
+    if real_dir:
+        try:
+            real = measure_real_data(trainer, state, cfg, batch_size,
+                                     real_dir)
+        except Exception as e:  # never break the headline number
+            log(f"real-data measurement failed: {e!r}")
+
     if "--train-only" in flags:
-        print(json.dumps({
+        res = {
             "metric": "train samples/sec/chip (TransFuser-base)",
             "value": round(train_sps, 2), "unit": "samples/sec/chip",
             "vs_baseline": round(train_sps / A100_BASELINE_SAMPLES_PER_SEC,
                                  3),
+            "value_runs": [round(s, 1) for s in rep_sps],
             "mfu": round(mfu, 4),
             "mfu_useful": round(mfu_useful, 4),
             "train_step_tflop": round(flops_step / 1e12, 3),
@@ -246,7 +344,10 @@ def main() -> None:
             "split_step": split_step,
             "backbone": cfg.model.backbone,
             "device": str(jax.devices()[0]),
-        }))
+        }
+        if real:
+            res.update(real)
+        print(json.dumps(res))
         return
 
     # --- Inference latency, batch 1 forward_ego.
@@ -275,6 +376,21 @@ def main() -> None:
         np.asarray(out[0])
         lat.append((time.perf_counter() - t0) * 1e3)
     p50_e2e = float(np.percentile(lat, 50))
+    # Pipelined agent-loop latency: dispatch frame N, fetch frame N-1's
+    # waypoints — one frame of result latency, which the reference's own
+    # action-repeat-2 already tolerates (submission_agent.py:252-254;
+    # HybridAgent pipelined_fetch mode). This is the per-frame cost the
+    # 20 Hz loop pays in steady state.
+    prev = None
+    lat_p = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        out = forward(infer_vars, *args)
+        if prev is not None:
+            np.asarray(prev[0])
+        lat_p.append((time.perf_counter() - t0) * 1e3)
+        prev = out
+    p50_pipelined = float(np.percentile(lat_p[1:], 50))
     # chip-side latency: K forwards chained on device (output feeds a
     # not-foldable epsilon back into the input), one fetch at the end.
     K = 32
@@ -300,6 +416,7 @@ def main() -> None:
     fetch(wps.sum())
     p50_chip = (time.perf_counter() - t0) * 1e3 / K
     log(f"inference p50: e2e(with host fetch) {p50_e2e:.2f} ms, "
+        f"pipelined {p50_pipelined:.2f} ms, "
         f"chip-side {p50_chip:.3f} ms/frame")
 
     result = {
@@ -310,11 +427,13 @@ def main() -> None:
         "vs_baseline": round(train_sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
         "baseline_note": "assumed 35 samples/s A100 (none published); "
                          "mfu is the measured, hardware-normalized number",
+        "value_runs": [round(s, 1) for s in rep_sps],
         "mfu": round(mfu, 4),
         "mfu_useful": round(mfu_useful, 4),
         "train_step_tflop": round(flops_step / 1e12, 3),
         "p50_inference_ms": round(p50_chip, 3),
         "p50_inference_e2e_host_ms": round(p50_e2e, 2),
+        "p50_inference_pipelined_ms": round(p50_pipelined, 2),
         "loss_first": round(losses[0], 4),
         "loss_last": round(losses[-1], 4),
         "batch_size": batch_size,
@@ -324,6 +443,8 @@ def main() -> None:
         "backbone": cfg.model.backbone,
         "device": str(jax.devices()[0]),
     }
+    if real:
+        result.update(real)
     print(json.dumps(result))
 
 
