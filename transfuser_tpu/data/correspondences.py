@@ -53,13 +53,15 @@ def project_correspondence_pairs(world: np.ndarray
     `valid_cam_points` of the reference (data.py:806-822), golden-tested
     against it in tests/test_correspondences_golden.py.
     """
-    pts = world[:, :3].astype(np.float64).copy()
-    pts[:, 0] *= -1.0  # x now points right
-
     half_x = (LIDAR_WH / PIXELS_PER_METER) / 2.0   # 16 m to each side
     max_y = LIDAR_WH / PIXELS_PER_METER            # 32 m ahead
-    keep = (np.abs(pts[:, 0]) < half_x) & (pts[:, 1] < max_y) & (pts[:, 1] > 0)
-    pts = pts[keep]
+    # range-filter BEFORE the float64 copy: real clouds are mostly outside
+    # the 32 m box, and the projection math below is the other half of the
+    # per-frame cost (PERF_NOTES "geometric-fusion host correspondences").
+    keep = (np.abs(world[:, 0]) < half_x) & (world[:, 1] < max_y) \
+        & (world[:, 1] > 0)
+    pts = world[keep, :3].astype(np.float64)
+    pts[:, 0] *= -1.0  # x now points right
     pts[:, 2] += LIDAR_Z - CAM_Z
 
     fov_h = 2.0 * np.arctan((IMG_H / IMG_W)
@@ -120,21 +122,27 @@ def lidar_cam_correspondences(world: np.ndarray, seed: int = 0
                           np.int32)
 
     def fill(points_out, cell_y, cell_x, val_x, val_y, ny, nx):
+        # One global shuffle, then the first SAMPLES_PER_CELL entries of
+        # each cell's run = a uniform without-replacement sample per cell
+        # (vectorized; the per-cell rng.choice loop was ~half the 44 ms
+        # per-frame cost in the 20 Hz agent loop, PERF_NOTES).
         cell_id = cell_y * nx + cell_x
-        order = np.argsort(cell_id, kind="stable")
-        cid = cell_id[order]
-        vx, vy = val_x[order], val_y[order]
+        perm = rng.permutation(cell_id.shape[0])
+        order = np.argsort(cell_id[perm], kind="stable")
+        src = perm[order]
+        cid = cell_id[src]
+        vx, vy = val_x[src], val_y[src]
         starts = np.searchsorted(cid, np.arange(ny * nx), side="left")
-        ends = np.searchsorted(cid, np.arange(ny * nx), side="right")
-        for cell in np.unique(cid):
-            s, e = starts[cell], ends[cell]
-            n = e - s
-            sel = np.arange(s, e) if n <= SAMPLES_PER_CELL else \
-                s + rng.choice(n, SAMPLES_PER_CELL, replace=False)
-            cy, cx = divmod(int(cell), nx)
-            k = len(sel)
-            points_out[cy, cx, :k, 0] = vx[sel]
-            points_out[cy, cx, :k, 1] = vy[sel]
+        counts = np.searchsorted(cid, np.arange(ny * nx),
+                                 side="right") - starts
+        for k in range(SAMPLES_PER_CELL):
+            cells = np.nonzero(counts > k)[0]
+            if cells.size == 0:
+                break
+            at = starts[cells] + k
+            cy, cx = np.divmod(cells, nx)
+            points_out[cy, cx, k, 0] = vx[at]
+            points_out[cy, cx, k, 1] = vy[at]
 
     # image-cell coords stored per bev cell (and vice versa), at /32 scale.
     fill(bev_points, b_cy, b_cx, c_cx, c_cy, lidar_cells, lidar_cells)
