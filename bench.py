@@ -317,11 +317,20 @@ def main() -> None:
     # present so the driver-run bench carries the input-pipeline number.
     real_dir = next((f.split("=", 1)[1] for f in flags
                      if f.startswith("--real-data=")), None)
-    if real_dir is None and os.path.isdir("/tmp/bench_realdata"):
-        real_dir = "/tmp/bench_realdata"
     real = None
-    if real_dir:
+    skip_real = "--no-real-data" in flags
+    if real_dir is None and not skip_real:
+        real_dir = "/tmp/bench_realdata"
+    if real_dir and not skip_real:
         try:
+            if not os.path.isdir(os.path.join(real_dir, "route0")):
+                log(f"generating hermetic datagen data in {real_dir} "
+                    "(host-only; runs after the timed chains)")
+                from transfuser_tpu.tools.bench_datagen import generate
+                t0 = time.perf_counter()
+                n = generate(real_dir, n_routes=4, ticks=600)
+                log(f"datagen: {n} frames in "
+                    f"{time.perf_counter() - t0:.0f}s")
             real = measure_real_data(trainer, state, cfg, batch_size,
                                      real_dir)
         except Exception as e:  # never break the headline number
