@@ -87,23 +87,47 @@ def program_flops(jitted, *args) -> float:
     return float(ca.get("flops", 0.0))
 
 
-def measure_real_data(trainer, state, cfg, batch_size: int, data_dir: str):
+def measure_real_data(trainer, state, cfg, batch_size: int, data_dir: str,
+                      chip_step_ms: float = 0.0):
     """Train-step throughput fed by the SHIPPED input pipeline over
     datagen-written data — the end-to-end number that includes host decode
     (reference surface: the 8-worker pinned DataLoader, train.py:156-163,
     which existed precisely to keep the accelerator fed).
 
-    Reports two modes:
-      * aug:    augmentation on, no sample cache — the true training path;
-      * cached: augment off + pre-warmed npz cache — the shipped fast mode.
-    `wait_frac` is the fraction of wall-clock the dispatch loop spent
-    BLOCKED on the loader (loader-bound when high)."""
+    The wire format is packed (uint8/uint16, data/pack.py): the axon tunnel
+    moves ~120 MB/s h2d with transfers overlapping compute (PERF_NOTES
+    round-4 transfer probe), so steady-state = max(chip step, transfer,
+    decode). Three modes:
+      * aug:    augmentation on, workers decode + device_put — the true
+                training path;
+      * cached: augment off + pre-warmed uncompressed packed npz cache;
+      * hbm:    dataset resident in device memory, on-device batch gather
+                (data/device_cache.py) — zero per-step wire traffic.
+    Decomposition reported: `wait_frac` (dispatch loop blocked on the
+    loader), bytes/sample, measured h2d bandwidth, implied transfer
+    ms/step, and the synthetic chip step ms.
+
+    Real epochs run with remat='early': the no-remat grad program uses
+    8.25 GB of temps and the donation-less update doubles params+opt —
+    ~13.7 of 16 GB HBM — so staging DISTINCT per-step batches (which real
+    data requires, unlike the single resident synthetic batch) tips the
+    allocator into thrash/OOM. Early remat cuts temps to 5.75 GB and
+    restores full-rate distinct-batch stepping (PERF_NOTES round 4)."""
+    import dataclasses
     import shutil
 
     import jax.numpy as jnp
 
     from transfuser_tpu.data.dataset import CarlaDataset
+    from transfuser_tpu.data.device_cache import DeviceCacheLoader, fits
     from transfuser_tpu.data.loader import PrefetchLoader
+    from transfuser_tpu.train.trainer import Trainer
+
+    if cfg.model.remat != "early":
+        # param/opt trees are remat-invariant: reuse the headline state
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    remat="early"))
+        trainer = Trainer(cfg, dtype=jnp.bfloat16, split_step=True)
 
     def one_epoch(loader, state):
         kept = None
@@ -129,11 +153,36 @@ def measure_real_data(trainer, state, cfg, batch_size: int, data_dir: str):
         return state, n / dt, wait / dt, n
 
     out = {}
-    ds_aug = CarlaDataset([data_dir], cfg, augment=True)
+    ds_aug = CarlaDataset([data_dir], cfg, augment=True, packed=True)
     if len(ds_aug) < batch_size:
         log(f"real-data: only {len(ds_aug)} samples in {data_dir}; skip")
         return None
-    loader = PrefetchLoader(ds_aug, batch_size, shuffle=True, num_workers=4)
+    bytes_per_sample = sum(v.nbytes for v in ds_aug[0].values())
+    out["real_bytes_per_sample"] = bytes_per_sample
+    # h2d bandwidth at this batch's wire size (workers upload async;
+    # the implied per-step transfer cost contextualizes wait_frac).
+    payload = np.zeros(bytes_per_sample * batch_size, np.uint8)
+    consume = jax.jit(lambda x: jnp.sum(x, dtype=jnp.float32) * 1e-6)
+    fetch(consume(jax.device_put(payload)))
+    resident = jax.device_put(payload)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        fetch(consume(resident))
+    base = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    for _ in range(3):
+        fetch(consume(jax.device_put(payload)))
+    xfer_s = max((time.perf_counter() - t0) / 3 - base, 1e-4)
+    h2d_mbps = payload.nbytes / 1e6 / xfer_s
+    out["real_h2d_mbps"] = round(h2d_mbps, 1)
+    out["real_transfer_ms_per_step"] = round(xfer_s * 1e3, 1)
+    out["real_chip_step_ms"] = round(chip_step_ms, 1)
+    log(f"real-data wire: {bytes_per_sample / 1e3:.0f} kB/sample packed, "
+        f"h2d {h2d_mbps:.0f} MB/s -> {xfer_s * 1e3:.0f} ms/step transfer "
+        f"(chip step {chip_step_ms:.0f} ms)")
+
+    loader = PrefetchLoader(ds_aug, batch_size, shuffle=True,
+                            num_workers=4, device_put=jax.device_put)
     # warm the step program/caches outside the timed epochs
     state, _, _, _ = one_epoch(loader, state)
     state, sps, wait_frac, n = one_epoch(loader, state)
@@ -144,15 +193,28 @@ def measure_real_data(trainer, state, cfg, batch_size: int, data_dir: str):
 
     cache_dir = os.path.join(data_dir, "_bench_npz_cache")
     shutil.rmtree(cache_dir, ignore_errors=True)
-    ds_c = CarlaDataset([data_dir], cfg, augment=False, cache=cache_dir)
-    loader = PrefetchLoader(ds_c, batch_size, shuffle=True, num_workers=4)
+    ds_c = CarlaDataset([data_dir], cfg, augment=False, cache=cache_dir,
+                        packed=True)
+    loader = PrefetchLoader(ds_c, batch_size, shuffle=True, num_workers=4,
+                            device_put=jax.device_put)
     state, _, _, _ = one_epoch(loader, state)  # populates the cache
     state, sps, wait_frac, n = one_epoch(loader, state)
     out["real_sps_cached"] = round(sps, 2)
     out["real_wait_frac_cached"] = round(wait_frac, 3)
     out["real_n_samples"] = len(ds_aug)
+    out["real_remat"] = cfg.model.remat
     log(f"real-data cached: {sps:.1f} samples/s, loader-wait "
         f"{100 * wait_frac:.0f}%")
+
+    # HBM-resident mode: one upload, zero per-step wire traffic.
+    hbm_budget = 8 << 30
+    if fits(ds_c, hbm_budget):
+        dev_loader = DeviceCacheLoader(ds_c, batch_size, shuffle=True,
+                                       log=log)
+        state, _, _, _ = one_epoch(dev_loader, state)
+        state, sps, wait_frac, n = one_epoch(dev_loader, state)
+        out["real_sps_hbm"] = round(sps, 2)
+        log(f"real-data hbm-resident: {sps:.1f} samples/s")
     return out
 
 
@@ -319,20 +381,38 @@ def main() -> None:
                      if f.startswith("--real-data=")), None)
     real = None
     skip_real = "--no-real-data" in flags
+    if skip_real and real_dir is not None:
+        log(f"--no-real-data suppresses the explicit "
+            f"--real-data={real_dir} measurement")
+    default_real_dir = "/tmp/bench_realdata"
     if real_dir is None and not skip_real:
-        real_dir = "/tmp/bench_realdata"
+        real_dir = default_real_dir
     if real_dir and not skip_real:
         try:
-            if not os.path.isdir(os.path.join(real_dir, "route0")):
+            from transfuser_tpu.tools.bench_datagen import (COMPLETE_MARKER,
+                                                            generate)
+            marker = os.path.join(real_dir, COMPLETE_MARKER)
+            # Self-provision ONLY our own scratch dir or a dir that does
+            # not exist yet — never write synthetic routes into an
+            # existing user dataset (ADVICE r3). A missing marker on a
+            # dir we provisioned means a partial generation: regenerate.
+            ours = real_dir == default_real_dir or not os.path.isdir(
+                real_dir)
+            if ours and not os.path.isfile(marker):
+                import shutil
+                shutil.rmtree(real_dir, ignore_errors=True)
                 log(f"generating hermetic datagen data in {real_dir} "
                     "(host-only; runs after the timed chains)")
-                from transfuser_tpu.tools.bench_datagen import generate
                 t0 = time.perf_counter()
                 n = generate(real_dir, n_routes=4, ticks=600)
                 log(f"datagen: {n} frames in "
                     f"{time.perf_counter() - t0:.0f}s")
+            elif not ours and not os.path.isfile(marker):
+                log(f"measuring user-provided dataset {real_dir} as-is "
+                    "(no bench-datagen marker; not writing into it)")
             real = measure_real_data(trainer, state, cfg, batch_size,
-                                     real_dir)
+                                     real_dir,
+                                     chip_step_ms=dt / n_steps * 1e3)
         except Exception as e:  # never break the headline number
             log(f"real-data measurement failed: {e!r}")
 
@@ -424,9 +504,63 @@ def main() -> None:
     wps = chained(infer_vars, *args)
     fetch(wps.sum())
     p50_chip = (time.perf_counter() - t0) * 1e3 / K
+
+    # Tunnel per-call floor (trivial-op probe): dispatch+fetch of a
+    # 1-element jit. Everything the pipelined number pays beyond chip-side
+    # compute is this floor (VERDICT r3 #4; measured 25.8 ms round 4 —
+    # chip-side is the hardware metric, the floor is tunnel plumbing a
+    # colocated host would not pay).
+    tiny_jit = jax.jit(lambda x: x + 1.0)
+    z = np.zeros((1,), np.float32)
+    fetch(tiny_jit(jax.device_put(z)))
+    lat_floor = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        fetch(tiny_jit(jax.device_put(z)))
+        lat_floor.append((time.perf_counter() - t0) * 1e3)
+    p50_floor = float(np.percentile(lat_floor, 50))
+
+    # Upload-INCLUSIVE per-frame latency, pipelined: per compute frame the
+    # agent uploads the packed camera strip + lidar histogram + raster
+    # (uint8 wire, hybrid_agent.py run_step), dispatches the forward, and
+    # fetches the PREVIOUS frame's waypoints (pipelined_fetch mode).
+    # Reference pays the analogous per-frame preprocess+transfer at
+    # submission_agent.py:236-254.
+    packed_host = (
+        np.round(np.asarray(infer_batch["rgb"])).astype(np.uint8),
+        np.round(np.asarray(infer_batch["lidar"]) * 5.0).astype(np.uint8),
+        np.asarray(infer_batch["target_point"], np.float32),
+        np.asarray(infer_batch["target_point_image"]).astype(np.uint8),
+        np.asarray(infer_batch["speed"], np.float32),
+    )
+
+    @jax.jit
+    def forward_packed(v, rgb, lidar, tp, tpi, speed):
+        rgb = rgb.astype(jnp.float32)
+        lidar = lidar.astype(jnp.float32) / 5.0
+        tpi = tpi.astype(jnp.float32)
+        return model.apply(v, rgb, lidar, tp, tpi, speed,
+                           method="forward_ego")
+
+    out = forward_packed(infer_vars,
+                         *(jax.device_put(a) for a in packed_host))
+    fetch(jax.tree.leaves(out)[0].sum())
+    prev = None
+    lat_f = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        dev = [jax.device_put(a) for a in packed_host]
+        out = forward_packed(infer_vars, *dev)
+        if prev is not None:
+            np.asarray(prev[0])
+        lat_f.append((time.perf_counter() - t0) * 1e3)
+        prev = out
+    p50_frame = float(np.percentile(lat_f[1:], 50))
     log(f"inference p50: e2e(with host fetch) {p50_e2e:.2f} ms, "
         f"pipelined {p50_pipelined:.2f} ms, "
-        f"chip-side {p50_chip:.3f} ms/frame")
+        f"frame(upload-inclusive, packed) {p50_frame:.2f} ms, "
+        f"chip-side {p50_chip:.3f} ms/frame, "
+        f"tunnel per-call floor {p50_floor:.1f} ms")
 
     result = {
         "metric": "train samples/sec/chip (TransFuser-base); "
@@ -443,6 +577,8 @@ def main() -> None:
         "p50_inference_ms": round(p50_chip, 3),
         "p50_inference_e2e_host_ms": round(p50_e2e, 2),
         "p50_inference_pipelined_ms": round(p50_pipelined, 2),
+        "p50_inference_frame_ms": round(p50_frame, 2),
+        "p50_dispatch_floor_ms": round(p50_floor, 2),
         "loss_first": round(losses[0], 4),
         "loss_last": round(losses[-1], 4),
         "batch_size": batch_size,

@@ -1,0 +1,183 @@
+"""Packed wire format (data/pack.py) + HBM-resident loader (round 4).
+
+The axon tunnel is the training bottleneck (~120 MB/s h2d, PERF_NOTES
+round-4 transfer probe); batches ship packed (uint8/uint16) and the train
+step widens them on device. These tests pin:
+  * pack -> unpack is EXACT for every key except depth (<= 1/65535);
+  * the train/eval steps produce the same losses from a packed batch as
+    from the fp32 batch;
+  * DeviceCacheLoader yields the dataset's own rows, deterministically
+    per epoch, and feeds the train step.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import tiny_config
+from transfuser_tpu.data.pack import (DEPTH_SCALE, pack_sample,
+                                      unpack_batch)
+from transfuser_tpu.data.synthetic import synthetic_batch
+
+
+def _dataset_like_batch(cfg, n=2, seed=0):
+    """synthetic_batch with the on-disk pipeline's value grids: integer
+    rgb 0..255, lidar histogram counts k/5, binary raster."""
+    b = synthetic_batch(cfg, n, seed=seed)
+    b["rgb"] = np.round(b["rgb"]).astype(np.float32)
+    b["lidar"] = (np.round(b["lidar"] * 5.0) / 5.0).astype(np.float32)
+    return b
+
+
+def test_pack_unpack_exact_roundtrip():
+    cfg = tiny_config()
+    batch = _dataset_like_batch(cfg)
+    packed = {k: np.stack([pack_sample(
+        {kk: vv[i] for kk, vv in batch.items()})[k]
+        for i in range(2)]) for k in batch}
+    # wire sizes actually shrink
+    assert packed["rgb"].dtype == np.uint8
+    assert packed["lidar"].dtype == np.uint8
+    assert packed["depth"].dtype == np.uint16
+    assert packed["bev"].dtype == np.uint8
+    assert packed["semantic"].dtype == np.uint8
+    assert sum(v.nbytes for v in packed.values()) < 0.4 * sum(
+        v.nbytes for v in batch.values())
+    un = unpack_batch({k: jnp.asarray(v) for k, v in packed.items()})
+    for k in batch:
+        a, b = np.asarray(un[k]), batch[k]
+        assert a.dtype == b.dtype, k
+        if k == "depth":
+            np.testing.assert_allclose(a, b, atol=1.01 / DEPTH_SCALE)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+
+
+def test_unpack_identity_on_fp32_batch():
+    cfg = tiny_config()
+    batch = {k: jnp.asarray(v) for k, v in
+             _dataset_like_batch(cfg).items()}
+    out = unpack_batch(batch)
+    for k in batch:
+        assert out[k] is batch[k], k
+
+
+def test_train_step_packed_equals_fp32():
+    from transfuser_tpu.train.trainer import Trainer
+
+    cfg = tiny_config()
+    batch = _dataset_like_batch(cfg)
+    packed = pack_sample(batch)  # pack_sample is per-key; batch-safe
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    state = trainer.init_state(batch, seed=3)
+    _, m_f32 = trainer.train_step(state, batch)
+    _, m_packed = trainer.train_step(state, packed)
+    for k in m_f32:
+        np.testing.assert_allclose(np.asarray(m_packed[k]),
+                                   np.asarray(m_f32[k]),
+                                   rtol=1e-4, atol=1e-5)
+    # eval step too
+    e_f32 = trainer.eval_step(state, batch)
+    e_packed = trainer.eval_step(state, packed)
+    np.testing.assert_allclose(np.asarray(e_packed["loss_total"]),
+                               np.asarray(e_f32["loss_total"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_device_cache_loader_rows_and_determinism():
+    from transfuser_tpu.data.device_cache import DeviceCacheLoader, fits
+
+    cfg = tiny_config()
+
+    class ListDataset:
+        def __init__(self, samples):
+            self.samples = samples
+
+        def __len__(self):
+            return len(self.samples)
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    samples = [pack_sample({k: v[0] for k, v in
+                            _dataset_like_batch(cfg, 1, seed=i).items()})
+               for i in range(7)]
+    ds = ListDataset(samples)
+    assert fits(ds, 1 << 30)
+    assert not fits(ds, 10)
+    loader = DeviceCacheLoader(ds, batch_size=2, shuffle=True, seed=11)
+    assert len(loader) == 3
+    epoch1 = [{k: np.asarray(v) for k, v in b.items()} for b in loader]
+    epoch1b = [{k: np.asarray(v) for k, v in b.items()} for b in loader]
+    assert len(epoch1) == 3
+    # deterministic within an epoch; rows are real dataset rows
+    speeds = {float(s["speed"]) for s in samples}
+    for b, b2 in zip(epoch1, epoch1b):
+        np.testing.assert_array_equal(b["speed"], b2["speed"])
+        for v in np.asarray(b["speed"]):
+            assert float(v) in speeds
+        assert b["rgb"].dtype == np.uint8
+    loader.set_epoch(1)
+    epoch2 = [np.asarray(b["speed"]) for b in loader]
+    assert not all(np.array_equal(a["speed"], b)
+                   for a, b in zip(epoch1, epoch2))
+
+
+def test_device_cache_feeds_train_step():
+    from transfuser_tpu.data.device_cache import DeviceCacheLoader
+    from transfuser_tpu.train.trainer import Trainer
+
+    cfg = tiny_config()
+    batch = _dataset_like_batch(cfg, 4, seed=2)
+
+    class ListDataset:
+        def __init__(self, batch, n):
+            self.batch, self.n = batch, n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return pack_sample({k: v[i % 4] for k, v in
+                                self.batch.items()})
+
+    loader = DeviceCacheLoader(ListDataset(batch, 4), batch_size=2,
+                               shuffle=False)
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    state = trainer.init_state(next(iter(loader)), seed=0)
+    for dev_batch in loader:
+        state, metrics = trainer.train_step(state, dev_batch)
+    assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_dataset_packed_mode_and_uncompressed_cache(tmp_path):
+    from test_data_pipeline import _write_fake_route
+    from transfuser_tpu.config import GlobalConfig
+    from transfuser_tpu.data.dataset import CarlaDataset
+
+    scenario_dir = _write_fake_route(str(tmp_path))
+    cfg = GlobalConfig()
+    ds_f32 = CarlaDataset([scenario_dir], cfg, augment=False)
+    cache_dir = str(tmp_path / "cache")
+    ds_p = CarlaDataset([scenario_dir], cfg, augment=False, packed=True,
+                        cache=cache_dir)
+    s_f32, s_p = ds_f32[0], ds_p[0]
+    assert s_p["rgb"].dtype == np.uint8
+    un = {k: np.asarray(v) for k, v in unpack_batch(
+        {k: jnp.asarray(v) for k, v in s_p.items()}).items()}
+    for k in s_f32:
+        if k == "depth":
+            np.testing.assert_allclose(un[k], s_f32[k],
+                                       atol=1.01 / DEPTH_SCALE)
+        else:
+            np.testing.assert_array_equal(un[k], s_f32[k], err_msg=k)
+    # second read comes from the (uncompressed) cache, identically
+    s_cached = ds_p[0]
+    for k in s_p:
+        np.testing.assert_array_equal(s_cached[k], s_p[k], err_msg=k)
+    import zipfile
+    npz = zipfile.ZipFile(str(tmp_path / "cache" / "0.npz"))
+    assert all(i.compress_type == zipfile.ZIP_STORED
+               for i in npz.infolist())

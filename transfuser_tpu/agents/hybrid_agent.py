@@ -41,6 +41,7 @@ from ..control.safety import bb_detected_in_front_of_vehicle, \
     num_points_in_safety_box
 from ..data import decoders
 from ..data.lidar_np import lidar_to_histogram
+from ..data.pack import LIDAR_HIST_MAX
 from ..models import LidarCenterNet
 from ..sim.types import VehicleControl
 from ..train.checkpoint import (list_ensemble_weights, load_config_snapshot,
@@ -159,9 +160,22 @@ class HybridAgent(AutonomousAgent):
         self.model_count = len(members)
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
 
+        def widen(rgb, lidar, tpi):
+            # Frames cross the axon tunnel packed (uint8 image, uint8
+            # histogram counts, uint8 raster — data/pack.py conventions;
+            # ~0.5 MB/frame instead of ~2.1) and widen on device here.
+            if rgb.dtype == jnp.uint8:
+                rgb = rgb.astype(jnp.float32)
+            if lidar.dtype == jnp.uint8:
+                lidar = lidar.astype(jnp.float32) / LIDAR_HIST_MAX
+            if tpi.dtype == jnp.uint8:
+                tpi = tpi.astype(jnp.float32)
+            return rgb, lidar, tpi
+
         if geometric:
             def single_forward(variables, rgb, lidar, tp, tpi, speed,
                                bev_points, cam_points):
+                rgb, lidar, tpi = widen(rgb, lidar, tpi)
                 return self.model.apply(
                     variables, rgb, lidar, tp, tpi, speed,
                     bev_points=bev_points, cam_points=cam_points,
@@ -169,6 +183,7 @@ class HybridAgent(AutonomousAgent):
             axes = (0, None, None, None, None, None, None, None)
         else:
             def single_forward(variables, rgb, lidar, tp, tpi, speed):
+                rgb, lidar, tpi = widen(rgb, lidar, tpi)
                 return self.model.apply(variables, rgb, lidar, tp, tpi,
                                         speed, method="forward_ego")
             axes = (0, None, None, None, None, None)
@@ -279,21 +294,28 @@ class HybridAgent(AutonomousAgent):
                                    tick_data["compass"], tick_data["speed"])
             return self.control
 
-        # ---------------- model inputs (all static shapes)
-        rgb = tick_data["rgb"][None].astype(np.float32)
+        # ---------------- model inputs (all static shapes), packed wire
+        # (uint8 over the tunnel; widened on device in the jitted forward.
+        # Camera frames are uint8 at the source and the histogram takes
+        # values k/5, so packing is exact.)
+        rgb = np.asarray(tick_data["rgb"])[None]
+        if rgb.dtype != np.uint8:
+            rgb = np.round(rgb).astype(np.uint8)
         if self.backbone == "latentTF":
             lidar_bev = np.zeros(
                 (1, cfg.sensors.lidar_resolution_height,
-                 cfg.sensors.lidar_resolution_width, 2), np.float32)
+                 cfg.sensors.lidar_resolution_width, 2), np.uint8)
         else:
             pts = tick_data["lidar"].copy()
             pts[:, 1] *= -1.0
-            lidar_bev = lidar_to_histogram(
-                pts, grid=cfg.sensors.lidar_resolution_width)[None]
+            lidar_bev = np.round(lidar_to_histogram(
+                pts, grid=cfg.sensors.lidar_resolution_width)
+                * LIDAR_HIST_MAX).astype(np.uint8)[None]
         target_point = np.asarray(tick_data["target_point"],
                                   np.float32)[None]
         tp_image = decoders.rasterize_target_point(
-            target_point[0], size=cfg.sensors.lidar_resolution_width)[None]
+            target_point[0], size=cfg.sensors.lidar_resolution_width
+        ).astype(np.uint8)[None]
         speed = np.asarray([tick_data["speed"]], np.float32)
 
         is_stuck = False

@@ -34,12 +34,21 @@ class CarlaDataset:
     cache: None (off), "memory" (in-process dict of decoded samples — only
     sound with augment=False since augmentation is sampled at decode time),
     or a directory path for an npz disk cache (the reference's diskcache
-    shared-dict role, data.py:133-197 / train.py:77-91).
+    shared-dict role, data.py:133-197 / train.py:77-91). Cache files are
+    UNCOMPRESSED npz of the sample in its wire form — zlib-inflating fp32
+    arrays on this 1-core host measured SLOWER than re-decoding the pngs
+    (round-3 cached 10.5 < aug 16.7 samples/s).
+
+    packed=True returns samples in the compact wire format (data/pack.py:
+    uint8 rgb/lidar/semantic/bev, uint16 depth) — ~0.9 MB/sample instead
+    of ~3.2; the train/eval steps widen on device via unpack_batch.
     """
 
     def __init__(self, roots: Sequence[str], config: GlobalConfig,
                  augment: Optional[bool] = None,
-                 cache: Optional[str] = None):
+                 cache: Optional[str] = None,
+                 packed: bool = False):
+        self.packed = packed
         self.config = config
         self.seq_len = config.model.seq_len
         self.pred_len = config.model.pred_len
@@ -125,11 +134,13 @@ class CarlaDataset:
                 with np.load(path) as z:
                     return {k: z[k] for k in z.files}
         sample = self._load(index)
+        if self.packed:
+            from .pack import pack_sample
+            sample = pack_sample(sample)
         if self.cache == "memory":
             self._mem_cache[index] = sample
         elif self.cache:
-            np.savez_compressed(os.path.join(self.cache, f"{index}.npz"),
-                                **sample)
+            np.savez(os.path.join(self.cache, f"{index}.npz"), **sample)
         return sample
 
     def _load(self, index: int) -> Dict[str, np.ndarray]:

@@ -104,6 +104,8 @@ class EvaluatorArgs:
     datagen: bool = False
     # print the per-route ANSI criteria table (result_writer.py:19-116)
     print_route_table: bool = True
+    # comma-separated route ids/names to run (None = all)
+    route_subset: Optional[str] = None
 
 
 def build_town_map(spec: Optional[str]):
@@ -137,7 +139,8 @@ class Evaluator:
         self.args = args
         self.statistics = StatisticsEngine()
         self.indexer = RouteIndexer(args.routes, args.scenarios,
-                                    args.repetitions)
+                                    args.repetitions,
+                                    route_subset=args.route_subset)
         if args.resume:
             self.indexer.resume(args.checkpoint)
             self.statistics.resume(args.checkpoint)

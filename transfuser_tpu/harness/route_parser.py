@@ -285,10 +285,19 @@ def location_xy_to_gps(world_xy: np.ndarray) -> np.ndarray:
 class RouteIndexer:
     def __init__(self, routes_file: str, scenarios_file: Optional[str],
                  repetitions: int = 1,
-                 single_route: Optional[str] = None):
+                 single_route: Optional[str] = None,
+                 route_subset: Optional[str] = None):
         self._configs: List[RouteConfig] = []
         self._index = 0
         base = parse_routes_file(routes_file, single_route)
+        if route_subset:
+            # comma-separated route ids/names ("8,25" or
+            # "RouteScenario_8"); the leaderboard's single-route knob
+            # generalized (leaderboard_evaluator.py route-id filtering)
+            tokens = {t.strip() for t in route_subset.split(",")}
+            base = [cfg for cfg in base
+                    if cfg.name in tokens
+                    or any(cfg.name.endswith(f"_{t}") for t in tokens)]
         annotations = load_scenario_annotations(scenarios_file)
         n = 0
         for rep in range(repetitions):

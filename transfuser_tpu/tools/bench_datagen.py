@@ -24,6 +24,10 @@ import os
 import sys
 from typing import List
 
+# Written at the end of a successful generate(); consumers re-generate when
+# the marker is absent (partial datasets are not silently measured).
+COMPLETE_MARKER = ".bench_datagen_complete"
+
 
 def generate(out_dir: str, n_routes: int = 4, ticks: int = 600) -> int:
     """Write `n_routes` route dirs under out_dir; returns total saved
@@ -51,24 +55,40 @@ def generate(out_dir: str, n_routes: int = 4, ticks: int = 600) -> int:
               (12.0, 78.25, 0.0), (148.0, 81.75, 180.0),
               (81.75, 12.0, 90.0), (78.25, 148.0, 270.0)]
     total = 0
+    # The agent reads SAVE_PATH at construction; restore the caller's value
+    # so an in-process bench.py call can't leak the bench dir into agents
+    # constructed later (ADVICE r3).
+    prev_save_path = os.environ.get("SAVE_PATH")
     os.environ["SAVE_PATH"] = out_dir  # agent writes out_dir/route{ri}
-    for ri in range(n_routes):
-        agent = DataAgent(route_index=ri)
-        dense = interpolate_trajectory(straight(*starts[ri % len(starts)]))
-        sparse = [dense[i] for i in downsample_route(dense, 50.0)]
-        agent.set_global_plan(location_route_to_gps(sparse), sparse)
-        for spec in agent.sensors():
-            agent.sensor_interface.register_sensor(spec["id"], spec["type"])
-        sim = ReplaySimulation([t for t, _ in dense])
-        agent.sim = sim
-        for _ in range(ticks):
-            default_sensor_feeder(sim, agent)
-            sim.apply_control(agent(sim.game_time))
-            sim.tick()
-        n = len(os.listdir(agent.save_path / "measurements"))
-        total += n
-        print(f"[bench_datagen] route {ri}: {n} frames",
-              file=sys.stderr, flush=True)
+    try:
+        for ri in range(n_routes):
+            agent = DataAgent(route_index=ri)
+            dense = interpolate_trajectory(
+                straight(*starts[ri % len(starts)]))
+            sparse = [dense[i] for i in downsample_route(dense, 50.0)]
+            agent.set_global_plan(location_route_to_gps(sparse), sparse)
+            for spec in agent.sensors():
+                agent.sensor_interface.register_sensor(spec["id"],
+                                                       spec["type"])
+            sim = ReplaySimulation([t for t, _ in dense])
+            agent.sim = sim
+            for _ in range(ticks):
+                default_sensor_feeder(sim, agent)
+                sim.apply_control(agent(sim.game_time))
+                sim.tick()
+            n = len(os.listdir(agent.save_path / "measurements"))
+            total += n
+            print(f"[bench_datagen] route {ri}: {n} frames",
+                  file=sys.stderr, flush=True)
+    finally:
+        if prev_save_path is None:
+            os.environ.pop("SAVE_PATH", None)
+        else:
+            os.environ["SAVE_PATH"] = prev_save_path
+    # Completion marker: a partial generation (crash mid-route) without it
+    # would otherwise be silently measured as a complete dataset (ADVICE r3).
+    with open(os.path.join(out_dir, COMPLETE_MARKER), "w") as f:
+        f.write(f"{total}\n")
     return total
 
 

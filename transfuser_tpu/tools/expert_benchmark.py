@@ -97,7 +97,8 @@ def run_expert_benchmark(out_json: str, n_routes: int = 12,
                          longest6: bool = False,
                          target_len: float = 1200.0,
                          agent_factory=None,
-                         resume: bool = False) -> dict:
+                         resume: bool = False,
+                         route_subset: Optional[str] = None) -> dict:
     import jax
     # the expert is numpy-only: never claim the TPU from this process
     # (a killed client wedges the chip for later processes)
@@ -130,6 +131,7 @@ def run_expert_benchmark(out_json: str, n_routes: int = 12,
         background_vehicles=background_vehicles,
         max_game_seconds=max_game_seconds,
         resume=resume,
+        route_subset=route_subset,
         print_route_table=print_route_table)).run()
     scores = result.get("scores", result)
     scores["n_routes"] = n
@@ -154,6 +156,9 @@ def main(argv=None) -> None:
                    help="flat cap; default scales 0.8 s/m + 5 s per route")
     p.add_argument("--resume", action="store_true",
                    help="skip routes already completed in --out")
+    p.add_argument("--routes-subset", default=None,
+                   help="comma-separated route ids/names to run "
+                        "(e.g. '8,25,35')")
     p.add_argument("--table", action="store_true",
                    help="print the per-route ANSI criteria tables")
     args = p.parse_args(argv)
@@ -171,7 +176,7 @@ def main(argv=None) -> None:
         max_game_seconds=args.max_game_seconds,
         print_route_table=args.table,
         longest6=args.longest6, target_len=args.target_len,
-        resume=args.resume)
+        resume=args.resume, route_subset=args.routes_subset)
     print(json.dumps(scores))
 
 

@@ -66,9 +66,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "groups, 128-wide chunked block-diagonal above) "
                         "is the measured-fastest on TPU (PERF_NOTES); "
                         "'native' for CPU debugging.")
-    p.add_argument("--remat", type=str, default="none",
+    p.add_argument("--remat", type=str, default="early",
                    choices=["none", "early", "all"],
-                   help="Backward-pass rematerialization (memory knob).")
+                   help="Backward-pass rematerialization. Default 'early':"
+                        " the no-remat flagship grad program peaks ~13.7 "
+                        "of 16 GB HBM, and real training streams DISTINCT "
+                        "per-step batches whose staging tips the "
+                        "allocator into thrash/OOM (PERF_NOTES round 4; "
+                        "~5-10%% step-time cost, full-rate streaming).")
     p.add_argument("--multihost", type=int, default=0,
                    help="Call jax.distributed.initialize() and shard the "
                         "loader by process (replaces torchrun rendezvous "
@@ -83,6 +88,19 @@ def build_argparser() -> argparse.ArgumentParser:
                         "per-epoch means, but each fetch is a hard sync "
                         "that serializes the axon dispatch pipeline — "
                         "PERF_NOTES). Default: fetch once at epoch end.")
+    p.add_argument("--wire", type=str, default="packed",
+                   choices=("packed", "f32"),
+                   help="Batch wire format: 'packed' ships uint8/uint16 "
+                        "and widens on device (data/pack.py; ~3.5x fewer "
+                        "bytes over the host->device link), 'f32' ships "
+                        "the legacy float arrays.")
+    p.add_argument("--device_cache", type=int, default=0,
+                   help="Hold the whole (packed) train set resident in "
+                        "device memory and gather batches on device "
+                        "(data/device_cache.py). Removes per-step wire "
+                        "traffic; requires the set to fit in HBM and "
+                        "FORCES augment=False (augmentation is sampled "
+                        "at decode time). Single-process only.")
     return p
 
 
@@ -176,8 +194,13 @@ def main(argv: Optional[list] = None) -> None:
               f"mesh=({n_data}x{args.mesh_model})")
 
     train_dirs, val_dirs = cfg.resolve_splits()
-    train_set = CarlaDataset(train_dirs, cfg)
-    val_set = CarlaDataset(val_dirs, cfg, augment=False)
+    packed = args.wire == "packed"
+    use_device_cache = bool(args.device_cache)
+    if use_device_cache and proc_count > 1:
+        raise SystemExit("--device_cache is single-process only")
+    train_set = CarlaDataset(train_dirs, cfg, packed=packed,
+                             augment=False if use_device_cache else None)
+    val_set = CarlaDataset(val_dirs, cfg, augment=False, packed=packed)
     global_batch = args.batch_size * n_data
     if global_batch % proc_count:
         raise SystemExit(f"global batch {global_batch} not divisible by "
@@ -193,13 +216,34 @@ def main(argv: Optional[list] = None) -> None:
     # Each process loads only its sample shard (DistributedSampler
     # semantics, train.py:157-158); Trainer.put_batch assembles the
     # global array from the local rows.
-    train_loader = PrefetchLoader(train_set, local_batch, shuffle=True,
-                                  num_workers=args.num_workers,
-                                  seed=args.seed,
-                                  shard_rank=proc_rank,
-                                  shard_count=proc_count)
+    # Single-process, no mesh: workers device_put their batches so uploads
+    # overlap both decode and device compute (the tunnel is bandwidth-
+    # bound, PERF_NOTES round-4 transfer probe). Under a mesh/multi-host,
+    # Trainer.put_batch owns placement.
+    put = None
+    if mesh is None and proc_count == 1:
+        put = jax.device_put
+    if use_device_cache:
+        from ..data.device_cache import DeviceCacheLoader, fits
+        if not fits(train_set, 8 << 30):
+            raise SystemExit("--device_cache: train set exceeds the 8 GB "
+                             "HBM budget; use the packed PrefetchLoader")
+        if is_chief:
+            print("[device_cache] uploading train set to HBM "
+                  "(augment forced off)")
+        train_loader = DeviceCacheLoader(
+            train_set, local_batch, shuffle=True, seed=args.seed,
+            log=lambda m: print(f"[device_cache] {m}"))
+    else:
+        train_loader = PrefetchLoader(train_set, local_batch, shuffle=True,
+                                      num_workers=args.num_workers,
+                                      seed=args.seed,
+                                      device_put=put,
+                                      shard_rank=proc_rank,
+                                      shard_count=proc_count)
     val_loader = PrefetchLoader(val_set, local_batch, shuffle=False,
                                 num_workers=args.num_workers,
+                                device_put=put,
                                 shard_rank=proc_rank,
                                 shard_count=proc_count)
 

@@ -21,6 +21,7 @@ import numpy as np
 import optax
 
 from ..config import GlobalConfig
+from ..data.pack import unpack_batch
 from ..models import LidarCenterNet
 from ..parallel import sharding as shd
 from .losses import compute_losses, total_loss
@@ -81,6 +82,10 @@ def make_train_step(model: LidarCenterNet, config: GlobalConfig,
     seed = int(config.train.seed)
 
     def grad_fn(params, batch_stats, step, batch):
+        # Packed (uint8/uint16 wire-format) batches are widened here so
+        # the cast+scale is fused on-device; identity on fp32 batches
+        # (data/pack.py — the tunnel is bandwidth-bound at ~120 MB/s).
+        batch = unpack_batch(batch)
         # Key derived in-trace from the static seed: a closure-captured
         # device array would ride along as an extra runtime constant.
         rng = jax.random.fold_in(jax.random.PRNGKey(seed), step)
@@ -145,6 +150,7 @@ def make_eval_step(model: LidarCenterNet, config: GlobalConfig) -> Callable:
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]
                   ) -> Dict[str, jnp.ndarray]:
+        batch = unpack_batch(batch)
         out, _ = _apply_model(model, state.params, state.batch_stats, batch,
                               train=False)
         detailed = compute_losses(out, batch, config)
@@ -185,7 +191,7 @@ class Trainer:
                 "dropout": jax.random.PRNGKey(seed + 1)}
 
         def model_init(rngs, batch):
-            args, extra = _model_inputs(batch)
+            args, extra = _model_inputs(unpack_batch(batch))
             return self.model.init(rngs, *args, train=False, **extra)
 
         def init_fn(rngs, batch):
