@@ -120,10 +120,15 @@ def main(argv=None) -> None:
               f"{len(os.listdir(agent.save_path / 'measurements'))} "
               f"samples", file=sys.stderr, flush=True)
 
-    # ---- 2. train a tiny TransFuser on it
+    # ---- 2. train a tiny TransFuser on it (last route dir WITHHELD for
+    # open-loop validation ADE/FDE — the 02_05_withheld analogue,
+    # reference train.py:38-40,66)
     cfg = tiny_config()
+    val_dirs, route_dirs = route_dirs[-1:], route_dirs[:-1]
     ds = CarlaDataset(route_dirs, cfg, augment=True)
-    print(f"[train] dataset {len(ds)} samples", file=sys.stderr)
+    ds_val = CarlaDataset(val_dirs, cfg, augment=False)
+    print(f"[train] dataset {len(ds)} samples "
+          f"(+{len(ds_val)} withheld val)", file=sys.stderr)
     loader = PrefetchLoader(ds, args.batch, shuffle=True, num_workers=2,
                             seed=0)
     trainer = Trainer(cfg, dtype=jnp.float32)
@@ -145,6 +150,17 @@ def main(argv=None) -> None:
         loader.set_epoch(epoch)
     print(f"[train] loss {losses[0]:.3f} -> {np.mean(losses[-10:]):.3f} "
           f"({step} steps)", file=sys.stderr)
+
+    # ---- 2b. withheld-route waypoint ADE/FDE (train/metrics.py)
+    trainer.state = state
+    val_loader = PrefetchLoader(ds_val, args.batch, shuffle=False,
+                                num_workers=2, drop_last=True)
+    val_metrics = trainer.validate(iter(val_loader)) \
+        if len(ds_val) >= args.batch else {}
+    val_ade = val_metrics.get("val_ade")
+    val_fde = val_metrics.get("val_fde")
+    print(f"[val] withheld-route ADE={val_ade} FDE={val_fde}",
+          file=sys.stderr)
 
     # ---- 3. closed-loop eval, trained vs untrained, held-out routes
     from transfuser_tpu.agents.hybrid_agent import HybridAgent
@@ -208,6 +224,8 @@ def main(argv=None) -> None:
     out = {"untrained": scores["untrained"], "trained": scores["trained"],
            "train_loss_first": losses[0],
            "train_loss_last": float(np.mean(losses[-10:])),
+           "val_ade": None if val_ade is None else round(val_ade, 4),
+           "val_fde": None if val_fde is None else round(val_fde, 4),
            "n_samples": len(ds), "steps": step}
     line = json.dumps(out)
     print(line)

@@ -21,14 +21,22 @@ import sys
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", required=True)
-    p.add_argument("--routes", type=int, default=12,
-                   help="route-count subset (CPU inference is slow)")
+    p.add_argument("--routes", type=int, default=36,
+                   help="route count (route XML is always generated at "
+                        "36 so ids match the expert artifact)")
+    p.add_argument("--routes-subset", default=None,
+                   help="comma-separated route ids to run")
     p.add_argument("--out", default="results/trained_longest6_hermetic.json")
     p.add_argument("--background", type=int, default=200)
+    p.add_argument("--tpu", action="store_true",
+                   help="run model inference on the TPU (sim stays host-"
+                        "side; ~37 ms/frame pipelined vs ~1 s/frame on "
+                        "this 1-core CPU). Run NOTHING else on the chip.")
     args = p.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from transfuser_tpu.agents.hybrid_agent import HybridAgent
     from transfuser_tpu.tools.expert_benchmark import run_expert_benchmark
@@ -39,7 +47,8 @@ def main() -> None:
     scores = run_expert_benchmark(
         args.out, n_routes=args.routes, town_spec="grid:4x100x2",
         background_vehicles=args.background, longest6=True,
-        agent_factory=factory, resume=True)
+        agent_factory=factory, resume=True,
+        route_subset=args.routes_subset, claim_tpu=args.tpu)
     print(json.dumps(scores))
 
 

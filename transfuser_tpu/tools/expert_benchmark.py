@@ -98,11 +98,15 @@ def run_expert_benchmark(out_json: str, n_routes: int = 12,
                          target_len: float = 1200.0,
                          agent_factory=None,
                          resume: bool = False,
-                         route_subset: Optional[str] = None) -> dict:
+                         route_subset: Optional[str] = None,
+                         claim_tpu: bool = False) -> dict:
     import jax
     # the expert is numpy-only: never claim the TPU from this process
-    # (a killed client wedges the chip for later processes)
-    jax.config.update("jax_platforms", "cpu")
+    # (a killed client wedges the chip for later processes).
+    # claim_tpu=True is for TRAINED agents whose forward runs on the chip
+    # (experiments/longest6_trained.py --tpu).
+    if not claim_tpu:
+        jax.config.update("jax_platforms", "cpu")
     from ..agents.autopilot import AutoPilot
     from .route_gen import TownGraph
     from ..harness.evaluator import (Evaluator, EvaluatorArgs,
