@@ -48,21 +48,35 @@ def main(argv=None):
                 near = []
                 tm = getattr(sim, "traffic", None) if sim else None
                 if tm is not None and len(self.stall_log) % 100 == 0:
+                    occ = getattr(tm, "last_occupancy", {})
                     for mv in getattr(tm, "vehicles", []):
                         ax = mv.actor.transform
                         d = math.hypot(ax.location.x - loc.x,
                                        ax.location.y - loc.y)
                         if d < 30.0:
+                            gap, lead_spd = tm._leader_gap(mv, occ)
+                            lane = tm.map.lanes[mv.lane_id]
                             near.append({
+                                "id": mv.actor.actor_id,
                                 "x": round(ax.location.x, 1),
                                 "y": round(ax.location.y, 1),
                                 "yaw": round(ax.rotation.yaw, 0),
                                 "speed": round(mv.speed, 2),
                                 "lane": mv.lane_id,
+                                "jn": bool(lane.is_junction),
+                                "s": round(mv.s, 1),
+                                "len": round(lane.length, 1),
+                                "gap": None if gap is None else round(gap, 2),
+                                "lspd": round(lead_spd, 2),
+                                "rear": round(min(tm._rear_gap(mv, occ),
+                                                  99.0), 1),
+                                "hold": mv.hold,
+                                "bo": round(mv.back_off, 1),
                                 "blocked_s": round(mv.blocked_time, 1),
                                 "d": round(d, 1)})
                 self.stall_log.append({
                     "step": self.step,
+                    "hazard_ids": sorted(getattr(self, "hazard_vids", ())),
                     "x": round(loc.x, 1) if loc else None,
                     "y": round(loc.y, 1) if loc else None,
                     "brake": self.brake,
@@ -102,6 +116,7 @@ def main(argv=None):
             "stall_ticks_total": len(log),
             "final_stall_counts": counts,
             "final_pos": {"x": log[-1]["x"], "y": log[-1]["y"]},
+            "final_hazard_ids": log[-1].get("hazard_ids", []),
             "last_neighborhood": nears[-1] if nears else [],
             "first_stall_step": log[0]["step"],
             "last_step": log[-1]["step"],

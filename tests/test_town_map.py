@@ -478,3 +478,46 @@ def test_traffic_graze_does_not_block():
     for _ in range(150):  # 15 s
         sim.tick()
     assert mv.s > 50.0 or mv.lane_id != lane.lane_id, (mv.s, mv.lane_id)
+
+
+def test_junction_interlock_backoff():
+    """A TM vehicle wedged mid-junction at contact with a stationary
+    external actor (the classic ego<->connector standoff that ended
+    Longest6 routes 8/25/35 as AgentBlocked) must REVERSE along its
+    connector to reopen the crossing, then hold; once the blocker
+    leaves it resumes."""
+    town2 = grid_town(blocks=2, block_size=80.0, lights_at=[])
+    conn = next(l for l in town2.lanes.values()
+                if l.is_junction and l.length > 10)
+    s0 = conn.length * 0.5
+    xy, yaw = conn.position(s0)
+    # blocker parked dead ahead on the connector, at bumper contact
+    import math as _m
+    bs = min(s0 + 4.6, conn.length - 0.5)  # ~0.1 m bumper gap
+    bxy, byaw = conn.position(bs)
+    blocker = Actor(actor_id=9300, type_id="vehicle.parked",
+                    transform=Transform(Location(float(bxy[0]),
+                                                 float(bxy[1])),
+                                        Rotation(yaw=byaw)))
+    sim = _sim_for(town2, start=(200.0, 300.0))  # ego far away
+    tm = TrafficManager(town2, seed=0)
+    from transfuser_tpu.sim.traffic import ManagedVehicle
+    car = Actor(actor_id=9301, type_id="vehicle.background",
+                transform=Transform(Location(float(xy[0]), float(xy[1])),
+                                    Rotation(yaw=yaw)))
+    mv = ManagedVehicle(actor=car, lane_id=conn.lane_id, s=s0,
+                        target_speed=8.0)
+    tm.vehicles = [mv]
+    sim.actors.extend([blocker, car])
+    sim.traffic = tm
+    for _ in range(300):  # 30 s: trigger (12 s blocked) + reverse
+        sim.tick()
+    assert mv.s < s0 - 2.0, (mv.s, s0)  # backed off the contact
+    assert mv.hold, "vehicle should hold after the backoff"
+    assert mv.speed == 0.0
+    # blocker leaves -> hold clears and the car drives on
+    sim.actors.remove(blocker)
+    for _ in range(200):
+        sim.tick()
+    assert not mv.hold
+    assert mv.s > s0 or mv.lane_id != conn.lane_id, (mv.s, mv.lane_id)

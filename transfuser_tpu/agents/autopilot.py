@@ -393,6 +393,7 @@ class AutoPilot(AutonomousAgent):
 
         self.vehicle_hazard = [False] * n_future
         self.walker_hazard = [False] * n_future
+        self.hazard_vids: set = set()  # actor ids that tripped the hazard
 
         # Forecast walkers (constant velocity).
         nearby_walkers = []
@@ -489,6 +490,7 @@ class AutoPilot(AutonomousAgent):
                 if _obb3_intersect(front, half, yaw_s, z_iv, c, e, y, z_iv):
                     vehicle_hazard = True
                     self.vehicle_hazard[i] = True
+                    self.hazard_vids.add(vid)
             for boxes in nearby_walkers:
                 c, e, y = boxes[i]
                 if _obb3_intersect(front, half, yaw_s, z_iv, c, e, y, z_iv):
@@ -507,6 +509,7 @@ class AutoPilot(AutonomousAgent):
                                c, e, y, z_iv):
                 vehicle_hazard = True
                 self.vehicle_hazard[0] = True
+                self.hazard_vids.add(vid)
         for boxes in nearby_walkers:
             c, e, y = boxes[0]
             if _obb3_intersect(safety_center, ego_extent, ego_yaw, z_iv,

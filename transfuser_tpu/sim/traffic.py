@@ -66,6 +66,9 @@ class ManagedVehicle:
     next_lane: Optional[int] = None  # chosen successor (persists per lane)
     speed: float = 0.0
     blocked_time: float = 0.0  # seconds stuck behind a stationary leader
+    back_off: float = 0.0  # meters left to reverse out of an interlock
+    hold: bool = False  # after a backoff: wait for the blocker to move
+    hold_time: float = 0.0  # seconds spent in the current hold
 
 
 class TrafficManager:
@@ -88,6 +91,15 @@ class TrafficManager:
         # light_id -> Actor: set by the scenario that materialized light
         # actors; step() keeps their .state in sync with the controller.
         self.light_actors: Dict[int, Actor] = {}
+        # lane -> preferred predecessor (non-junction approach first):
+        # the lane a junction-interlocked vehicle reverses back onto.
+        self._preds: Dict[int, int] = {}
+        for lane in town_map.lanes.values():
+            for succ in lane.successors:
+                cur = self._preds.get(int(succ))
+                if cur is None or (self.map.lanes[cur].is_junction
+                                   and not lane.is_junction):
+                    self._preds[int(succ)] = lane.lane_id
 
     # ------------------------------------------------------------- spawning
     def spawn(self, n: int, first_actor_id: int = 2000,
@@ -192,9 +204,11 @@ class TrafficManager:
                    float(actor.extent.x), float(actor.extent.y),
                    actor.transform.rotation.yaw, float(actor.speed))
 
+        self.last_occupancy = occupancy  # introspection (debug tooling)
+
         for mv in self.vehicles:
             desired = mv.target_speed
-            gap = self._leader_gap(mv, occupancy)
+            gap, lead_spd = self._leader_gap(mv, occupancy)
             if gap is not None:
                 # IDM-lite: brake to keep headway
                 safe = self.MIN_GAP + mv.speed * self.HEADWAY
@@ -211,10 +225,91 @@ class TrafficManager:
                     mv.blocked_time += dt
                 if mv.blocked_time > 4.0 \
                         and self._try_lane_change(mv, occupancy):
-                    gap = self._leader_gap(mv, occupancy)
+                    gap, lead_spd = self._leader_gap(mv, occupancy)
                     desired = mv.target_speed
             else:
                 mv.blocked_time = 0.0
+
+            # A held vehicle resumes once its blocker moves or clears.
+            if mv.hold:
+                mv.hold_time += dt
+                if gap is None or gap >= self.MIN_GAP or lead_spd > 1.0:
+                    mv.hold = False
+                    mv.hold_time = 0.0
+
+            # Junction interlock BACKOFF: a vehicle wedged inside a
+            # junction behind a STATIONARY blocker (usually the ego
+            # stopped at an entry whose corner clips this connector, or
+            # a jammed exit queue — the push-through's gap > 0.3 guard
+            # can never fire) reverses along its connector — across the
+            # lane boundary, back onto the approach road if need be —
+            # to reopen the crossing, then HOLDS until the blocker
+            # moves. Real drivers back out of an interlocked box;
+            # without this the standoff outlasts the 180 s blocked
+            # criterion (routes 8/25/35 of the Longest6-scale artifact
+            # all ended exactly this way: a connector car at d<6 m
+            # blocked ~178 s in front of the stalled ego). A hold that
+            # stagnates mid-junction (still <4 m of space after the
+            # first 6 m budget) re-arms and keeps reversing.
+            on_junction = self.map.lanes[mv.lane_id].is_junction
+            if (mv.back_off <= 0.0 and gap is not None and on_junction
+                    and lead_spd < 1.0
+                    and ((mv.blocked_time > 12.0 and gap <= 0.5)
+                         or (mv.hold and mv.hold_time > 15.0
+                             and gap < 4.0))):
+                mv.back_off = 6.0
+                mv.hold = False
+                mv.hold_time = 0.0
+            if mv.back_off > 0.0:
+                if gap is None or gap >= 4.0:
+                    mv.back_off = 0.0
+                    mv.hold = True
+                    mv.blocked_time = 0.0
+                else:
+                    rear = self._rear_gap(mv, occupancy)
+                    step_d = min(1.2 * dt, mv.back_off,
+                                 max(rear - 1.0, 0.0))
+                    s_new = mv.s - step_d
+                    if s_new < 0.05 and on_junction:
+                        # reverse across the boundary onto the approach
+                        # lane (evacuating the junction box) when its
+                        # tail is clear; re-enter this connector later.
+                        pred = self._preds.get(mv.lane_id)
+                        plen = (self.map.lanes[pred].length
+                                if pred is not None else 0.0)
+                        tail_clear = pred is not None and all(
+                            s_o + half < plen - 8.0
+                            for s_o, half, _spd in
+                            occupancy.get(pred, ()))
+                        if tail_clear:
+                            mv.next_lane = mv.lane_id
+                            mv.lane_id = int(pred)
+                            s_new = max(plen + s_new, 0.0)
+                        else:
+                            step_d = max(mv.s - 0.05, 0.0)
+                            s_new = mv.s - step_d
+                    elif s_new < 0.05:
+                        step_d = max(mv.s - 0.05, 0.0)
+                        s_new = mv.s - step_d
+                    if step_d <= 1e-9:
+                        mv.back_off = 0.0  # boxed in; at least stop
+                        mv.hold = True     # pushing into the wedge
+                        mv.blocked_time = 0.0
+                    else:
+                        mv.back_off -= step_d
+                        if mv.back_off <= 1e-9:
+                            mv.back_off = 0.0
+                            mv.hold = True
+                            mv.blocked_time = 0.0
+                        mv.s = s_new
+                        mv.speed = 0.0
+                        xy, yaw = self.map.lanes[mv.lane_id].position(mv.s)
+                        mv.actor.transform = Transform(
+                            Location(float(xy[0]), float(xy[1])),
+                            Rotation(yaw=yaw))
+                        mv.actor.speed = 0.0
+                        mv.actor.control = VehicleControl(brake=1.0)
+                        continue
             dist_red = self._red_light_distance(mv)
             if dist_red is None:
                 # Junction admission: treat a blocked junction ahead like
@@ -239,6 +334,7 @@ class TrafficManager:
             # connector exit the ego's corner clips — each would wait on
             # the other forever (the blocked criterion fires at 180 s).
             if (mv.blocked_time > 6.0 and gap is not None and gap > 0.3
+                    and not mv.hold
                     and self.map.lanes[mv.lane_id].is_junction):
                 desired = max(desired, 1.2)
 
@@ -295,14 +391,15 @@ class TrafficManager:
 
     def _leader_gap(self, mv: ManagedVehicle,
                     occupancy: Dict[int, List[Tuple[float, float]]]
-                    ) -> Optional[float]:
-        """Bumper distance to the closest road user ahead on this vehicle's
-        lane chain, within LOOKAHEAD."""
+                    ) -> Tuple[Optional[float], float]:
+        """(bumper distance, speed) of the closest road user ahead on this
+        vehicle's lane chain within LOOKAHEAD; (None, 0.0) when clear."""
         base = -mv.s  # arclength offset of each chain lane's origin
         best: Optional[float] = None
+        best_spd = 0.0
         for li, lid in enumerate(self._chain(mv)):
             lane = self.map.lanes[lid]
-            for s_o, half_len, _spd in occupancy.get(lid, ()):
+            for s_o, half_len, spd in occupancy.get(lid, ()):
                 ahead = base + s_o
                 if li == 0 and ahead <= 1e-6:
                     continue  # behind us on our own lane (or ourselves)
@@ -310,9 +407,24 @@ class TrafficManager:
                     gap = ahead - half_len - mv.actor.extent.x
                     if best is None or gap < best:
                         best = gap
+                        best_spd = float(spd)
             base += lane.length
             if base > self.LOOKAHEAD:
                 break
+        return best, best_spd
+
+    def _rear_gap(self, mv: ManagedVehicle,
+                  occupancy: Dict[int, List[Tuple[float, float]]]
+                  ) -> float:
+        """Bumper clearance to the closest road user BEHIND on this
+        vehicle's own lane (inf when clear) — bounds how far a backoff
+        may reverse without hitting the queue behind."""
+        best = math.inf
+        for s_o, half_len, _spd in occupancy.get(mv.lane_id, ()):
+            behind = mv.s - s_o
+            if behind <= 1e-6:
+                continue  # ahead of us, or ourselves
+            best = min(best, behind - half_len - mv.actor.extent.x)
         return best
 
     def _try_lane_change(self, mv: ManagedVehicle,

@@ -282,7 +282,9 @@ def main(argv: Optional[list] = None) -> None:
                     and len(val_set) > 0:
                 val_metrics = trainer.validate(iter(val_loader))
                 print(f"epoch {epoch}: val_loss="
-                      f"{val_metrics.get('val_loss_total', 0):.4f}")
+                      f"{val_metrics.get('val_loss_total', 0):.4f} "
+                      f"val_ade={val_metrics.get('val_ade', 0):.3f} "
+                      f"val_fde={val_metrics.get('val_fde', 0):.3f}")
                 if writer:
                     for k, v in val_metrics.items():
                         writer.add_scalar(k, v, epoch + 1)
