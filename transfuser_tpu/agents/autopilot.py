@@ -37,7 +37,8 @@ from ..geometry import EgoModel, normalize_angle, obb_corners, obb_intersect
 from ..harness.route_parser import interpolate_trajectory, \
     location_route_to_gps, RoadOption
 from ..sim.replay import Actor, ReplaySimulation
-from ..sim.types import Location, Transform, VehicleControl
+from ..sim.types import Location, Rotation as _Rotation, Transform, \
+    VehicleControl
 from .base import AutonomousAgent, Track
 
 
@@ -288,10 +289,15 @@ class AutoPilot(AutonomousAgent):
     # ----------------------------------------------------------------- steer
     def _angle_to(self, pos: np.ndarray, theta: float,
                   target: np.ndarray) -> float:
-        r = np.array([[np.cos(theta), -np.sin(theta)],
-                      [np.sin(theta), np.cos(theta)]])
-        aim = r.T @ (np.asarray(target) - pos)
-        return -math.degrees(math.atan2(-aim[1], aim[0]))
+        # Scalar expansion of r(theta).T @ (target - pos): this runs once
+        # per forecast step per tick; the 2x2 matrix construction
+        # dominated it (profiled at 6 s/route).
+        dx = float(target[0]) - float(pos[0])
+        dy = float(target[1]) - float(pos[1])
+        c, s = math.cos(theta), math.sin(theta)
+        aim_x = c * dx + s * dy
+        aim_y = -s * dx + c * dy
+        return -math.degrees(math.atan2(-aim_y, aim_x))
 
     def _route_angle(self, route, pos, theta) -> float:
         if len(route) == 1 or self.angle_search_range <= 2:
@@ -333,7 +339,7 @@ class AutoPilot(AutonomousAgent):
         steer = self._turn_controller_extrapolation.step(angle)
         if restore:
             self._turn_controller_extrapolation.save()
-        return round(float(np.clip(steer, -1.0, 1.0)), 3)
+        return round(min(max(steer, -1.0), 1.0), 3)
 
     def _get_throttle(self, brake: bool, target_speed: float, speed: float,
                       restore: bool = True) -> float:
@@ -353,13 +359,13 @@ class AutoPilot(AutonomousAgent):
                                     restore: bool = True) -> float:
         if self._waypoint_planner_extrapolation.is_last:
             target_speed = 0.0
-        delta = float(np.clip(target_speed - speed, 0.0, self.clip_delta))
+        delta = min(max(target_speed - speed, 0.0), self.clip_delta)
         if restore:
             self._speed_controller_extrapolation.load()
         throttle = self._speed_controller_extrapolation.step(delta)
         if restore:
             self._speed_controller_extrapolation.save()
-        return float(np.clip(throttle, 0.0, self.clip_throttle))
+        return min(max(throttle, 0.0), self.clip_throttle)
 
     # ----------------------------------------------------------------- brake
     def _ego_state(self):
@@ -425,10 +431,13 @@ class AutoPilot(AutonomousAgent):
             buf["brake"].append(veh.control.brake)
             for k in buf:
                 buf[k] = buf[k][-self.stuck_buffer_size:]
-            if buf["velocity"] and \
-                    np.mean(buf["velocity"]) < self.stuck_vel_threshold and \
-                    np.mean(buf["throttle"]) > self.stuck_throttle_threshold \
-                    and np.mean(buf["brake"]) < self.stuck_brake_threshold:
+            nbuf = len(buf["velocity"])
+            if nbuf and \
+                    sum(buf["velocity"]) / nbuf < self.stuck_vel_threshold \
+                    and sum(buf["throttle"]) / nbuf \
+                    > self.stuck_throttle_threshold \
+                    and sum(buf["brake"]) / nbuf \
+                    < self.stuck_brake_threshold:
                 stuck_ids.append(veh.actor_id)
         if vehs:
             locs = np.array([[v.transform.location.x,
@@ -453,41 +462,64 @@ class AutoPilot(AutonomousAgent):
             del self.vehicle_speed_buffer[dead]
 
         # Forecast ego assuming no braking, re-steering along the route.
+        # Pure-scalar state: this loop runs `horizon` times per tick and
+        # was 46% of benchmark-route wall-clock as (1,)-shaped numpy.
         vehicle_hazard = False
         walker_hazard = False
-        loc = ego_xy.copy()
-        yaw = np.array([ego_yaw])
-        spd = np.array([speed])
+        lx, ly = float(ego_xy[0]), float(ego_xy[1])
+        yaw_s = float(ego_yaw)
+        spd_s = float(speed)
         throttle_ex = self._get_throttle_extrapolation(self.target_speed,
                                                        speed)
-        action = np.array([self.steer, throttle_ex, 0.0])
+        steer_a, throt_a, brake_a = float(self.steer), throttle_ex, 0.0
         half = ego_extent.copy()
         half[0] /= 2.0  # front/back half boxes (autopilot.py:713-724)
+        half0 = float(half[0])
         z_iv = (ego_z - 1.0, ego_z + 1.0)
+        # Vehicles that only ever intersect the ego's BACK half box (a
+        # tailgater riding the rear bumper) never become hazards while
+        # the back-contact persists (autopilot.py:727-742
+        # back_only_vehicle_id) — braking for them would freeze the ego.
+        back_only_vids: set = set()
+        fwd_scalar = self.ego_model.forward_scalar
+        half_pi = math.pi / 2.0
 
         for i in range(horizon):
-            loc, yaw, spd = self.ego_model.forward(loc, yaw, spd, action)
-            yaw_s = float(np.ravel(yaw)[0])
+            lx, ly, yaw_s, spd_s = fwd_scalar(lx, ly, yaw_s, spd_s,
+                                              steer_a, throt_a, brake_a)
             # Re-plan steering from the forecast position (gps frame trick,
             # autopilot.py:697-703).
-            pos_gps = np.array([-loc[1], loc[0]])
+            pos_gps = (-ly, lx)
             route_ex = self._waypoint_planner_extrapolation.run_step(pos_gps)
-            steer_ex = self._get_steer_extrapolation(
-                route_ex, pos_gps, yaw_s + np.pi / 2.0, spd, restore=False)
-            throttle_ex = self._get_throttle_extrapolation(
-                self.target_speed, float(np.ravel(spd)[0]), restore=False)
-            brake_ex = 1.0 if self._waypoint_planner_extrapolation.is_last \
+            steer_a = self._get_steer_extrapolation(
+                route_ex, pos_gps, yaw_s + half_pi, spd_s, restore=False)
+            throt_a = self._get_throttle_extrapolation(
+                self.target_speed, spd_s, restore=False)
+            brake_a = 1.0 if self._waypoint_planner_extrapolation.is_last \
                 else 0.0
-            action = np.array([steer_ex, throttle_ex, brake_ex])
 
             cos_y, sin_y = math.cos(yaw_s), math.sin(yaw_s)
-            front = loc + np.array([half[0] * cos_y, half[0] * sin_y])
-            back = loc - np.array([half[0] * cos_y, half[0] * sin_y])
+            front = (lx + half0 * cos_y, ly + half0 * sin_y)
+            back = (lx - half0 * cos_y, ly - half0 * sin_y)
 
             for vid, boxes in nearby_vehicles.items():
                 j = 0 if vid in stuck_ids else i
                 c, e, y = boxes[j]
-                if _obb3_intersect(front, half, yaw_s, z_iv, c, e, y, z_iv):
+                back_int = _obb3_intersect(back, half, yaw_s, z_iv,
+                                           c, e, y, z_iv)
+                if vid in back_only_vids:
+                    # stays exempt while back-contact persists; once it
+                    # clears, it re-enters evaluation NEXT step
+                    # (reference semantics: unconditional continue).
+                    back_only_vids.discard(vid)
+                    if back_int:
+                        back_only_vids.add(vid)
+                    continue
+                front_int = _obb3_intersect(front, half, yaw_s, z_iv,
+                                            c, e, y, z_iv)
+                if back_int and not front_int:
+                    back_only_vids.add(vid)
+                if front_int:
                     vehicle_hazard = True
                     self.vehicle_hazard[i] = True
                     self.hazard_vids.add(vid)
@@ -610,16 +642,16 @@ class AutoPilot(AutonomousAgent):
             return
         ego_xy, ego_yaw, speed, ego_extent, ego_z = self._ego_state()
         n = int(self.waypoint_seconds * self.frame_rate)
-        loc = ego_xy.copy()
-        yaw = np.array([ego_yaw])
-        spd = np.array([speed])
-        action = np.array([self.steer, self.throttle, self.brake])
+        lx, ly = float(ego_xy[0]), float(ego_xy[1])
+        yaw_s, spd_s = float(ego_yaw), float(speed)
+        steer, throt, brake = (float(self.steer), float(self.throttle),
+                               float(self.brake))
+        fwd_scalar = self.ego_model.forward_scalar
         boxes = []
         for _ in range(n):
-            loc, yaw, spd = self.ego_model.forward(loc, yaw, spd, action)
-            boxes.append(_SimpleBox(
-                float(loc[0]), float(loc[1]), ego_z,
-                math.degrees(float(np.ravel(yaw)[0]))))
+            lx, ly, yaw_s, spd_s = fwd_scalar(lx, ly, yaw_s, spd_s,
+                                              steer, throt, brake)
+            boxes.append(_SimpleBox(lx, ly, ego_z, math.degrees(yaw_s)))
         self.future_states["ego"] = boxes
 
     def _save_measurements(self, pos, input_data, far_node, steer, throttle,
@@ -663,5 +695,4 @@ class AutoPilot(AutonomousAgent):
 class _SimpleBox:
     def __init__(self, x: float, y: float, z: float, yaw_deg: float):
         self.location = Location(x, y, z)
-        from ..sim.types import Rotation
-        self.rotation = Rotation(yaw=yaw_deg)
+        self.rotation = _Rotation(yaw=yaw_deg)

@@ -7,6 +7,7 @@ on the accelerator.
 
 from __future__ import annotations
 
+import math
 from collections import deque
 from typing import Tuple
 
@@ -25,12 +26,21 @@ class PIDController:
         self.k_d = k_d
         self.window: deque = deque([0.0] * n, maxlen=n)
         self._saved: deque = deque(self.window, maxlen=n)
+        # Running window sum: np.mean over the deque every step was 16 s
+        # of a benchmark route (the expert steps 4 PIDs per forecast
+        # frame). load() re-derives it exactly (math.fsum), so drift
+        # cannot accumulate across the expert's save/load cycles.
+        self._sum = 0.0
 
     def step(self, error: float) -> float:
-        self.window.append(error)
-        if len(self.window) >= 2:
-            integral = float(np.mean(self.window))
-            derivative = self.window[-1] - self.window[-2]
+        w = self.window
+        if len(w) == w.maxlen:
+            self._sum -= w[0]
+        w.append(error)
+        self._sum += error
+        if len(w) >= 2:
+            integral = self._sum / len(w)
+            derivative = w[-1] - w[-2]
         else:
             integral = 0.0
             derivative = 0.0
@@ -42,6 +52,7 @@ class PIDController:
 
     def load(self) -> None:
         self.window = deque(self._saved, maxlen=self._saved.maxlen)
+        self._sum = math.fsum(self.window)
 
 
 def control_pid(waypoints: np.ndarray, speed: float,

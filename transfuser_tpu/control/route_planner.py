@@ -21,6 +21,11 @@ class RoutePlanner:
     def __init__(self, min_distance: float, max_distance: float):
         self.route: Deque[Tuple[np.ndarray, object]] = deque()
         self.saved_route: Deque = deque()
+        # Parallel (x, y) python-float view of self.route, popped in
+        # lockstep: run_step's scan runs once per expert forecast step
+        # (~400k/route) and float(ndarray[i]) conversions dominated it.
+        self._xy: Deque[Tuple[float, float]] = deque()
+        self._saved_xy: Deque = deque()
         self.min_distance = min_distance
         self.max_distance = max_distance
         self.is_last = False
@@ -30,6 +35,7 @@ class RoutePlanner:
     def set_route(self, global_plan: List[Tuple[object, object]],
                   gps: bool = False) -> None:
         self.route.clear()
+        self._xy.clear()
         for pos, cmd in global_plan:
             if gps:
                 pos = np.array([pos["lat"], pos["lon"]])
@@ -38,6 +44,7 @@ class RoutePlanner:
                 # pos is a transform-like with .location.x/.y
                 pos = np.array([pos.location.x, pos.location.y]) - self.mean
             self.route.append((pos, cmd))
+            self._xy.append((float(pos[0]), float(pos[1])))
 
     def run_step(self, gps: np.ndarray) -> Deque:
         """Pop waypoints the vehicle has passed; returns the active route.
@@ -56,15 +63,16 @@ class RoutePlanner:
         to_pop = 0
         farthest_in_range = -math.inf
         cumulative_distance = 0.0
-        px, py = (float(self.route[0][0][0]), float(self.route[0][0][1]))
-        for i, (p, _) in enumerate(islice(self.route, 1, None), 1):
-            if cumulative_distance > self.max_distance:
+        max_distance = self.max_distance
+        min_distance = self.min_distance
+        px, py = self._xy[0]
+        for i, (x, y) in enumerate(islice(self._xy, 1, None), 1):
+            if cumulative_distance > max_distance:
                 break
-            x, y = float(p[0]), float(p[1])
             cumulative_distance += math.hypot(x - px, y - py)
             px, py = x, y
             distance = math.hypot(x - gx, y - gy)
-            if distance <= self.min_distance \
+            if distance <= min_distance \
                     and distance > farthest_in_range:
                 farthest_in_range = distance
                 to_pop = i
@@ -72,6 +80,7 @@ class RoutePlanner:
         for _ in range(to_pop):
             if len(self.route) > 2:
                 self.route.popleft()
+                self._xy.popleft()
         return self.route
 
     def save(self) -> None:
@@ -81,9 +90,11 @@ class RoutePlanner:
         # equivalent to the reference's deepcopy (nav_planner.py save/
         # load), which was 33% of expert-benchmark wall-clock.
         self.saved_route = deque(self.route)
+        self._saved_xy = deque(self._xy)
 
     def load(self) -> None:
         # Copy again so pops on the restored route never mutate the
         # saved snapshot (deepcopy semantics, both directions).
         self.route = deque(self.saved_route)
+        self._xy = deque(self._saved_xy)
         self.is_last = False

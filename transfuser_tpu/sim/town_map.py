@@ -21,6 +21,7 @@ Everything is numpy on the host; nothing here touches jax.
 
 from __future__ import annotations
 
+import bisect
 import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -60,10 +61,20 @@ class Lane:
         self._cum_list = self._cum.tolist()
         self._pts_list = [(float(p[0]), float(p[1]))
                           for p in self.centerline]
+        # project() fast-path tables: the segment geometry is static, so
+        # precompute it once instead of re-deriving diff/denominator on
+        # every call (project ran 430k times per benchmark route).
+        self._proj_a = self.centerline[:-1]
+        ab = self.centerline[1:] - self._proj_a
+        self._proj_ab = ab
+        denom = (ab * ab).sum(axis=1)
+        self._proj_denom = np.where(denom < 1e-12, 1e-12, denom)
+        self._proj_inv = 1.0 / self._proj_denom
+        self._proj_sqrt = np.sqrt(self._proj_denom)
 
-    def position(self, s: float) -> Tuple[np.ndarray, float]:
-        """(xy, yaw_deg) at arclength s (clamped)."""
-        import bisect
+    def position_f(self, s: float) -> Tuple[float, float, float]:
+        """(x, y, yaw_deg) at arclength s (clamped) — pure-scalar twin of
+        position() for the per-(vehicle, tick) traffic loop."""
         s = min(max(s, 0.0), self.length)
         i = bisect.bisect_right(self._cum_list, s) - 1
         i = min(max(i, 0), len(self._pts_list) - 2)
@@ -73,23 +84,23 @@ class Lane:
         seg_len = math.hypot(sx, sy) or 1e-9
         t = (s - self._cum_list[i]) / seg_len
         t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
-        xy = np.array([ax + t * sx, ay + t * sy])
-        yaw = math.degrees(math.atan2(sy, sx))
-        return xy, yaw
+        return ax + t * sx, ay + t * sy, math.degrees(math.atan2(sy, sx))
+
+    def position(self, s: float) -> Tuple[np.ndarray, float]:
+        """(xy, yaw_deg) at arclength s (clamped)."""
+        x, y, yaw = self.position_f(s)
+        return np.array([x, y]), yaw
 
     def project(self, x: float, y: float) -> Tuple[float, float]:
         """(s, signed lateral offset) of the closest centerline point."""
         p = np.array([x, y])
-        a = self.centerline[:-1]
-        b = self.centerline[1:]
-        ab = b - a
-        denom = (ab * ab).sum(axis=1)
-        denom = np.where(denom < 1e-12, 1e-12, denom)
-        t = np.clip(((p - a) * ab).sum(axis=1) / denom, 0.0, 1.0)
+        a = self._proj_a
+        ab = self._proj_ab
+        t = np.clip(((p - a) * ab).sum(axis=1) * self._proj_inv, 0.0, 1.0)
         proj = a + t[:, None] * ab
         d2 = ((p - proj) ** 2).sum(axis=1)
         i = int(np.argmin(d2))
-        s = float(self._cum[i] + t[i] * math.sqrt(denom[i]))
+        s = float(self._cum[i] + t[i] * self._proj_sqrt[i])
         # sign: left of travel direction = positive
         cross = ab[i, 0] * (p[1] - a[i, 1]) - ab[i, 1] * (p[0] - a[i, 0])
         lateral = math.copysign(math.sqrt(d2[i]), cross)
@@ -360,10 +371,17 @@ class TownMap:
         return pts
 
     def light_for_lane(self, lane_id: int) -> Optional[TrafficLightSpec]:
-        for tl in self.traffic_lights:
-            if lane_id in tl.controlled_lanes:
-                return tl
-        return None
+        # Lazily index lane -> light: the linear scan over every light ran
+        # once per (managed vehicle, tick). Lights are static after
+        # construction (nothing in the tree mutates traffic_lights).
+        cache = getattr(self, "_light_by_lane", None)
+        if cache is None:
+            cache = {}
+            for tl in self.traffic_lights:
+                for lid in tl.controlled_lanes:
+                    cache.setdefault(lid, tl)
+            self._light_by_lane = cache
+        return cache.get(lane_id)
 
 
 # --------------------------------------------------------------------------

@@ -18,8 +18,16 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..geometry import obb_corners, obb_intersect
+from ..geometry import EgoModel, obb_corners, obb_intersect
 from .replay import Actor, ReplaySimulation
+
+# World-on-Rails bicycle-model constants for _steer_for_yaw_rate — hoisted
+# to module scope (the per-call import + attribute walks ran once per
+# moving managed vehicle per tick).
+_STEER_EGO = EgoModel()
+_STEER_REAR_WB = _STEER_EGO.rear_wb
+_STEER_WB_SUM = _STEER_EGO.front_wb + _STEER_EGO.rear_wb
+_STEER_GAIN = _STEER_EGO.steer_gain
 from .town_map import TownMap, TrafficLightSpec
 from .types import Location, Rotation, Transform, VehicleControl
 
@@ -166,7 +174,7 @@ class TrafficManager:
             # two-lane road.
             for lane in self.map.lanes_near(x, y, radius=2.0 * 3.5):
                 s, lat = lane.project(x, y)
-                _, lane_yaw = lane.position(s)
+                cx, cy, lane_yaw = lane.position_f(s)
                 d = math.radians(yaw_deg - lane_yaw)
                 c, sn = abs(math.cos(d)), abs(math.sin(d))
                 half_lat = c * ext_y + sn * ext_x
@@ -180,10 +188,9 @@ class TrafficManager:
                 # Longest6 density). Cheap projected-extent reject
                 # first; exact OBB-vs-corridor SAT on the borderline.
                 if abs(lat) <= self.SWEEP_HALF_WIDTH + half_lat:
-                    cxy, cyaw = lane.position(s)
                     corridor = obb_corners(
-                        cxy, np.array([half_s + 1.0, 1.26]),
-                        math.radians(cyaw))
+                        np.array([cx, cy]), np.array([half_s + 1.0, 1.26]),
+                        math.radians(lane_yaw))
                     box = obb_corners(
                         np.array([x, y]),
                         np.array([ext_x + 0.2, ext_y + 0.2]),
@@ -303,10 +310,10 @@ class TrafficManager:
                             mv.blocked_time = 0.0
                         mv.s = s_new
                         mv.speed = 0.0
-                        xy, yaw = self.map.lanes[mv.lane_id].position(mv.s)
+                        px, py, yaw = self.map.lanes[mv.lane_id].position_f(
+                            mv.s)
                         mv.actor.transform = Transform(
-                            Location(float(xy[0]), float(xy[1])),
-                            Rotation(yaw=yaw))
+                            Location(px, py), Rotation(yaw=yaw))
                         mv.actor.speed = 0.0
                         mv.actor.control = VehicleControl(brake=1.0)
                         continue
@@ -345,9 +352,9 @@ class TrafficManager:
 
             yaw_before = mv.actor.transform.rotation.yaw
             self._advance(mv, mv.speed * dt)
-            xy, yaw = self.map.lanes[mv.lane_id].position(mv.s)
+            px, py, yaw = self.map.lanes[mv.lane_id].position_f(mv.s)
             mv.actor.transform = Transform(
-                Location(float(xy[0]), float(xy[1])), Rotation(yaw=yaw))
+                Location(px, py), Rotation(yaw=yaw))
             mv.actor.speed = mv.speed
             # privileged dynamic state for the expert's forecasting:
             # publish the steering a bicycle model would need to produce
@@ -397,19 +404,22 @@ class TrafficManager:
         base = -mv.s  # arclength offset of each chain lane's origin
         best: Optional[float] = None
         best_spd = 0.0
+        lanes = self.map.lanes
+        lookahead = self.LOOKAHEAD
+        ext_x = mv.actor.extent.x
+        occ_get = occupancy.get
         for li, lid in enumerate(self._chain(mv)):
-            lane = self.map.lanes[lid]
-            for s_o, half_len, spd in occupancy.get(lid, ()):
+            for s_o, half_len, spd in occ_get(lid, ()):
                 ahead = base + s_o
                 if li == 0 and ahead <= 1e-6:
                     continue  # behind us on our own lane (or ourselves)
-                if 0.0 < ahead <= self.LOOKAHEAD:
-                    gap = ahead - half_len - mv.actor.extent.x
+                if 0.0 < ahead <= lookahead:
+                    gap = ahead - half_len - ext_x
                     if best is None or gap < best:
                         best = gap
                         best_spd = float(spd)
-            base += lane.length
-            if base > self.LOOKAHEAD:
+            base += lanes[lid].length
+            if base > lookahead:
                 break
         return best, best_spd
 
@@ -488,20 +498,14 @@ class TrafficManager:
                     return dist  # exit lane has no standing room
         return None
 
-    _STEER_MODEL = None
-
     def _steer_for_yaw_rate(self, yaw_rate: float, speed: float) -> float:
         """Invert the World-on-Rails bicycle model: the steer action that
         yields `yaw_rate` at `speed` (so expert forecasts of this vehicle
         follow its actual curved path)."""
-        from ..geometry import EgoModel
-        if TrafficManager._STEER_MODEL is None:
-            TrafficManager._STEER_MODEL = EgoModel()
-        m = TrafficManager._STEER_MODEL
-        sin_beta = max(-0.99, min(0.99, yaw_rate * m.rear_wb / speed))
+        sin_beta = max(-0.99, min(0.99, yaw_rate * _STEER_REAR_WB / speed))
         beta = math.asin(sin_beta)
-        tan_wheel = math.tan(beta) * (m.front_wb + m.rear_wb) / m.rear_wb
-        steer = math.atan(tan_wheel) / m.steer_gain
+        tan_wheel = math.tan(beta) * _STEER_WB_SUM / _STEER_REAR_WB
+        steer = math.atan(tan_wheel) / _STEER_GAIN
         return max(-1.0, min(1.0, steer))
 
     def _red_light_distance(self, mv: ManagedVehicle) -> Optional[float]:

@@ -25,7 +25,14 @@ class Location:
         return np.array([self.x, self.y, self.z])
 
     def distance(self, other: "Location") -> float:
-        return float(np.linalg.norm(self.as_array() - other.as_array()))
+        # Scalar math, not np.linalg.norm: this runs for every
+        # (actor, tick) pair in the proximity filters of the expert and
+        # the traffic manager, and the 3 tiny-array constructions per
+        # call dominated it (profiled at 24 s per benchmark route).
+        dx = self.x - other.x
+        dy = self.y - other.y
+        dz = self.z - other.z
+        return math.sqrt(dx * dx + dy * dy + dz * dz)
 
     def __add__(self, other: "Location") -> "Location":
         return Location(self.x + other.x, self.y + other.y, self.z + other.z)
