@@ -45,41 +45,58 @@ def _resize_image(data: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def default_sensor_feeder(sim, agent: AutonomousAgent) -> None:
     """Push the backend's frame into the agent's sensor queue, tagged by the
-    agent's declared sensor ids."""
+    agent's declared sensor ids.
+
+    Camera and lidar payloads are delivered LAZILY (SensorInterface
+    update_sensor(lazy=True)): synthesizing a 60k-point lidar sweep and
+    nine camera renders per tick for an agent that persists them at 2 Hz
+    (the DataAgent) made datagen ~10x slower than the driving itself.
+    Thunks evaluate inside the agent's run_step, the same tick they were
+    queued, so the sim state they read is the state they were fed from."""
     frame = sim.sensor_frame()
+    can_render = hasattr(sim, "render_camera")
     for spec in agent.sensors():
         tag = spec["id"]
         stype = spec["type"]
+        lazy = True
         if stype == "sensor.camera.rgb":
-            key = {"rgb": "rgb", "rgb_left": "rgb_left",
-                   "rgb_right": "rgb_right", "rgb_back": "rgb",
-                   "rgb_front": "rgb"}.get(tag, "rgb")
-            data = frame[key]
-            h, w = spec.get("height"), spec.get("width")
-            if h and data.shape[:2] != (h, w):
-                data = _resize_image(data, h, w)
+            if can_render:
+                # map-aware palette render (sensors.semantic_to_rgb), not
+                # the legacy noise frame: trained models consume this.
+                data = (lambda s=spec: sim.render_camera(s, "rgb"))
+            else:
+                key = {"rgb": "rgb", "rgb_left": "rgb_left",
+                       "rgb_right": "rgb_right", "rgb_back": "rgb",
+                       "rgb_front": "rgb"}.get(tag, "rgb")
+
+                def data(k=key, h=spec.get("height"),
+                         w=spec.get("width")):
+                    img = frame[k]
+                    if h and img.shape[:2] != (h, w):
+                        img = _resize_image(img, h, w)
+                    return img
         elif stype in ("sensor.camera.semantic_segmentation",
                        "sensor.camera.depth"):
             kind = "semantic" if stype.endswith("segmentation") else "depth"
-            if hasattr(sim, "render_camera"):
-                data = sim.render_camera(spec, kind)
+            if can_render:
+                data = (lambda s=spec, k=kind: sim.render_camera(s, k))
             else:
                 h, w = spec.get("height", 160), spec.get("width", 320)
-                data = np.zeros((h, w, 1 if kind == "semantic" else 3),
-                                np.uint8)
+                data = (lambda h=h, w=w, k=kind: np.zeros(
+                    (h, w, 1 if k == "semantic" else 3), np.uint8))
         elif stype == "sensor.lidar.ray_cast":
-            data = frame["lidar"]
+            data = (lambda f=frame: f["lidar"])
         elif stype == "sensor.other.gnss":
-            data = frame["gps"]
+            data, lazy = frame["gps"], False
         elif stype == "sensor.other.imu":
-            data = frame["imu"]
+            data, lazy = frame["imu"], False
         elif stype == "sensor.speedometer":
-            data = frame["speed"]
+            data, lazy = frame["speed"], False
         elif stype == "sensor.opendrive_map":
             continue
         else:
             continue
-        agent.sensor_interface.update_sensor(tag, data, sim.frame)
+        agent.sensor_interface.update_sensor(tag, data, sim.frame, lazy=lazy)
 
 
 @dataclass

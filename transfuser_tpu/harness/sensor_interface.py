@@ -23,6 +23,39 @@ class SensorReceivedNoData(Exception):
     pass
 
 
+class _LazyEntry:
+    """Deferred sensor payload: materializes on first access."""
+    __slots__ = ("frame", "fn")
+
+    def __init__(self, frame: int, fn: Callable[[], Any]):
+        self.frame = frame
+        self.fn = fn
+
+
+class LazySensorData(dict):
+    """get_data() view whose expensive entries (camera renders, lidar
+    synthesis) materialize on first access — an agent that only reads
+    them every Nth tick (the DataAgent saves at 2 Hz against a 20 Hz
+    sim) never pays for the other N-1 synths. Same idiom as
+    sim.replay._LazyFrame."""
+
+    def __getitem__(self, key):
+        v = dict.__getitem__(self, key)
+        if type(v) is _LazyEntry:
+            v = (v.frame, v.fn())
+            dict.__setitem__(self, key, v)
+        return v
+
+    def get(self, key, default=None):
+        return self[key] if dict.__contains__(self, key) else default
+
+    def items(self):
+        return [(k, self[k]) for k in dict.keys(self)]
+
+    def values(self):
+        return [self[k] for k in dict.keys(self)]
+
+
 class SensorInterface:
     def __init__(self, timeout: float = 10.0):
         self._sensors: Dict[str, Any] = {}
@@ -40,14 +73,18 @@ class SensorInterface:
             self._opendrive_tag = tag
 
     # ------------------------------------------------------------ callbacks
-    def update_sensor(self, tag: str, data: Any, frame: int) -> None:
+    def update_sensor(self, tag: str, data: Any, frame: int,
+                      lazy: bool = False) -> None:
+        """lazy=True: `data` is a zero-arg callable evaluated on the
+        agent's first access to this tag (get_data still counts the
+        delivery against the frame barrier immediately)."""
         if tag not in self._sensors:
             raise SensorConfigurationInvalid(f"sensor [{tag}] not registered")
-        self._queue.put((tag, frame, data))
+        self._queue.put((tag, frame, data, lazy))
 
     # -------------------------------------------------------------- barrier
     def get_data(self) -> Dict[str, Tuple[int, Any]]:
-        data_dict: Dict[str, Tuple[int, Any]] = {}
+        data_dict: Dict[str, Tuple[int, Any]] = LazySensorData()
         deadline = time.monotonic() + self._timeout
         while len(data_dict) < len(self._sensors):
             # OpenDRIVE pseudo-sensor may legitimately deliver nothing.
@@ -59,11 +96,12 @@ class SensorInterface:
                 raise SensorReceivedNoData(
                     "A sensor took too long to send its data")
             try:
-                tag, frame, data = self._queue.get(timeout=remaining)
+                tag, frame, data, lazy = self._queue.get(timeout=remaining)
             except queue.Empty:
                 raise SensorReceivedNoData(
                     "A sensor took too long to send its data")
-            data_dict[tag] = (frame, data)
+            data_dict[tag] = _LazyEntry(frame, data) if lazy \
+                else (frame, data)
         return data_dict
 
 

@@ -110,11 +110,16 @@ class ReplaySimulation:
         # ControlLoss-style in-sim actuation perturbation (one tick each).
         self._steer_perturbation = 0.0
         self.town_map = town_map
-        # camera render cache: {sensor_id: (frame, data)}; semantic/depth
-        # frames re-render every `camera_refresh` ticks (datagen consumes
-        # every save_freq-th frame, data_agent.py:166-183)
-        self.camera_refresh = 10
+        # camera render cache: {sensor_id: (frame, data)}; frames
+        # re-render every `camera_refresh` ticks. 2 = one render per
+        # compute frame (action-repeat 2): eval agents see <=0.1 s-stale
+        # frames; datagen pays nothing extra (sensor delivery is lazy and
+        # the DataAgent's weather shuffle clears the cache per save).
+        self.camera_refresh = 2
         self._camera_cache: Dict[str, Tuple[int, Any]] = {}
+        # raw (sem, depth) renders shared across the rgb/semantic/depth
+        # sensors mounted at one pose: {pose_key: (frame, sem, depth)}
+        self._pose_render_cache: Dict[Tuple, Tuple[int, Any, Any]] = {}
         # weather state applied by the sensor synthesis (DataAgent's
         # shuffle_weather, data_agent.py:222-242)
         self.weather = {"weather": "Clear", "daytime": "Noon"}
@@ -125,6 +130,7 @@ class ReplaySimulation:
     def set_weather(self, setting: Dict[str, str]) -> None:
         self.weather = dict(setting)
         self._camera_cache.clear()  # re-render under the new conditions
+        self._pose_render_cache.clear()
 
     def is_junction(self, location: Location) -> bool:
         """Map query stand-in (the live adapter asks the OpenDRIVE map)."""
@@ -298,8 +304,22 @@ class ReplaySimulation:
         cached = self._camera_cache.get(key)
         if cached is not None and self.frame - cached[0] < self.camera_refresh:
             return cached[1]
-        cam = PinholeCamera.from_spec(spec)
-        sem, depth = cam.render(self)
+        # The raw (semantic, depth) render is shared across modalities of
+        # the same camera pose: the datagen rig declares rgb/semantics/
+        # depth as THREE sensors per mount point, which tripled the
+        # renders before this cache.
+        pose_key = (spec.get("x", 1.3), spec.get("y", 0.0),
+                    spec.get("z", 2.3), spec.get("yaw", 0.0),
+                    spec.get("width", 320), spec.get("height", 160),
+                    spec.get("fov", 60))
+        pose_hit = self._pose_render_cache.get(pose_key)
+        if pose_hit is not None \
+                and self.frame - pose_hit[0] < self.camera_refresh:
+            sem, depth = pose_hit[1], pose_hit[2]
+        else:
+            cam = PinholeCamera.from_spec(spec)
+            sem, depth = cam.render(self)
+            self._pose_render_cache[pose_key] = (self.frame, sem, depth)
         if kind == "semantic":
             data = sem[..., None]
         elif kind == "depth":
