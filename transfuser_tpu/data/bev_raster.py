@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import List, Sequence, Tuple
 
+import cv2
 import numpy as np
 
 from ..sim.replay import Actor
@@ -41,42 +42,34 @@ def encode_bev_to_png(bev: np.ndarray) -> np.ndarray:
 
 def _line_mask(h: int, w: int, polyline: np.ndarray,
                thickness: float) -> np.ndarray:
-    """Distance-to-segment rasterization of a polyline (px coords)."""
-    mask = np.zeros((h, w), bool)
+    """Stroke a polyline with half-width `thickness` (px coords).
+
+    cv2.polylines, not per-pixel distance math: the numpy version
+    allocated an mgrid per segment and cost ~2 s per BEV render at
+    datagen density (37k calls per short route)."""
+    mask = np.zeros((h, w), np.uint8)
     if polyline.shape[0] < 2:
-        return mask
-    ys, xs = np.mgrid[0:h, 0:w]
-    pts = np.stack([xs, ys], axis=-1).astype(np.float32)
-    for a, b in zip(polyline[:-1], polyline[1:]):
-        ab = b - a
-        denom = float(ab @ ab)
-        if denom < 1e-9:
-            continue
-        # restrict work to the segment's bounding box + margin
-        lo = np.maximum(np.floor(np.minimum(a, b) - thickness - 1), 0)
-        hi = np.minimum(np.ceil(np.maximum(a, b) + thickness + 1),
-                        [w - 1, h - 1])
-        x0, y0 = int(lo[0]), int(lo[1])
-        x1, y1 = int(hi[0]) + 1, int(hi[1]) + 1
-        if x0 >= x1 or y0 >= y1:
-            continue
-        p = pts[y0:y1, x0:x1]
-        t = np.clip(((p - a) @ ab) / denom, 0.0, 1.0)
-        proj = a + t[..., None] * ab
-        d2 = ((p - proj) ** 2).sum(-1)
-        mask[y0:y1, x0:x1] |= d2 <= thickness * thickness
-    return mask
+        return mask.astype(bool)
+    pts = np.round(polyline).astype(np.int32).reshape(-1, 1, 2)
+    cv2.polylines(mask, [pts], False, 1,
+                  thickness=max(int(round(2.0 * thickness)), 1))
+    return mask.astype(bool)
 
 
 def _box_mask(h: int, w: int, center: np.ndarray, extent: np.ndarray,
               yaw: float) -> np.ndarray:
-    ys, xs = np.mgrid[0:h, 0:w]
+    """Filled oriented box (px coords) via cv2.fillConvexPoly."""
+    mask = np.zeros((h, w), np.uint8)
     c, s = math.cos(yaw), math.sin(yaw)
-    dx = xs - center[0]
-    dy = ys - center[1]
-    local_x = dx * c + dy * s
-    local_y = -dx * s + dy * c
-    return (np.abs(local_x) <= extent[0]) & (np.abs(local_y) <= extent[1])
+    cx, cy = float(center[0]), float(center[1])
+    ex, ey = float(extent[0]), float(extent[1])
+    corners = np.array([
+        [cx + c * ex - s * ey, cy + s * ex + c * ey],
+        [cx + c * ex + s * ey, cy + s * ex - c * ey],
+        [cx - c * ex + s * ey, cy - s * ex - c * ey],
+        [cx - c * ex - s * ey, cy - s * ex + c * ey]])
+    cv2.fillConvexPoly(mask, np.round(corners).astype(np.int32), 1)
+    return mask.astype(bool)
 
 
 class BevRasterizer:
