@@ -214,3 +214,42 @@ def test_agent_pipelined_fetch(tmp_path):
     assert controls[2].steer == controls[3].steer
     assert controls[4].steer == controls[5].steer
     assert len(agent.gps_buffer) == 6
+
+
+def test_packed_forward_matches_direct(tmp_path):
+    """The single-RPC packed frame path (one uint8 buffer up, one
+    flattened array down — PERF_NOTES 'HybridAgent RPC census') must be
+    numerically identical to calling the vmapped ensemble with the five
+    separate arrays, including the float32 target_point/speed bitcast
+    round trip through uint8 bytes."""
+    import jax.numpy as jnp
+    cfg, model_dir = _make_model_dir(tmp_path, n_members=2)
+    from transfuser_tpu.agents.hybrid_agent import HybridAgent
+
+    agent = HybridAgent(model_dir)
+    assert agent._forward_packed is not None
+    rgb_sh, lid_sh, tpi_sh, n_rgb, n_lid, n_tpi = agent._pack_layout
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, rgb_sh, dtype=np.uint8)
+    lidar = rng.integers(0, 32, lid_sh, dtype=np.uint8)
+    tpi = rng.integers(0, 2, tpi_sh, dtype=np.uint8) * 255
+    target_point = np.array([[7.25, -3.5]], np.float32)
+    speed = np.array([2.125], np.float32)
+
+    direct = agent._forward(jnp.asarray(rgb), jnp.asarray(lidar),
+                            jnp.asarray(target_point), jnp.asarray(tpi),
+                            jnp.asarray(speed))
+    wp_d, boxes_d = np.asarray(direct[0]), np.asarray(direct[1])
+
+    scal = np.concatenate([target_point.ravel(), speed.ravel()])
+    buf = np.concatenate([rgb.ravel(), lidar.ravel(), tpi.ravel(),
+                          scal.view(np.uint8)])
+    flat = np.asarray(agent._forward_packed(jnp.asarray(buf)))
+    wp_p = flat[:agent._wp_size].reshape(agent._wp_shape)
+    boxes_p = flat[agent._wp_size:].reshape(agent._boxes_shape)
+
+    assert wp_p.shape == wp_d.shape
+    assert boxes_p.shape == boxes_d.shape
+    np.testing.assert_allclose(wp_p, wp_d, rtol=0, atol=0)
+    np.testing.assert_allclose(boxes_p, boxes_d, rtol=0, atol=0)

@@ -50,6 +50,11 @@ from .base import AutonomousAgent, Track
 
 
 class HybridAgent(AutonomousAgent):
+    # single-RPC frame path; set by _build_ensemble for non-geometric
+    # backbones (class default so stubbed/partial builds fall back to
+    # the multi-array _forward path)
+    _forward_packed = None
+
     def setup(self, path_to_conf_file: str,
               route_index: Optional[int] = None) -> None:
         self.track = Track.SENSORS
@@ -188,11 +193,63 @@ class HybridAgent(AutonomousAgent):
                                         speed, method="forward_ego")
             axes = (0, None, None, None, None, None)
 
-        ensemble_forward = jax.jit(jax.vmap(single_forward, in_axes=axes))
+        vm_forward = jax.vmap(single_forward, in_axes=axes)
+        ensemble_forward = jax.jit(vm_forward)
         # params enter as an argument (closure-captured arrays would be
         # baked into the HLO as constants and explode compile time).
         self._stacked = stacked
         self._forward = lambda *args: ensemble_forward(self._stacked, *args)
+
+        if not geometric:
+            # Single-RPC frame path: run_step's five separate jnp.asarray
+            # uploads plus two output fetches paid the axon tunnel's
+            # ~26 ms per-call floor EIGHT times per compute frame
+            # (measured ~430 ms wall per 50 ms sim tick on the trained
+            # 36-route eval, PERF_NOTES "HybridAgent RPC census"). All
+            # inputs are uint8 except 3 floats, so one packed uint8
+            # buffer crosses the tunnel, unpacks in-graph, and the two
+            # outputs come back as ONE flattened array: 8 RPCs -> 3.
+            s = cfg.sensors
+            rgb_sh = tuple(example["rgb"].shape)
+            lid_sh = tuple(example["lidar"].shape)
+            tpi_sh = tuple(example["target_point_image"].shape)
+            n_rgb = int(np.prod(rgb_sh))
+            n_lid = int(np.prod(lid_sh))
+            n_tpi = int(np.prod(tpi_sh))
+            self._pack_layout = (rgb_sh, lid_sh, tpi_sh,
+                                 n_rgb, n_lid, n_tpi)
+
+            def packed_forward(variables, buf):
+                o1, o2, o3 = n_rgb, n_rgb + n_lid, n_rgb + n_lid + n_tpi
+                rgb = buf[:o1].reshape(rgb_sh)
+                lidar = buf[o1:o2].reshape(lid_sh)
+                tpi = buf[o2:o3].reshape(tpi_sh)
+                # 3 float32 (target_point x/y, speed) bitcast from the
+                # trailing 12 bytes (little-endian both sides)
+                sc = jax.lax.bitcast_convert_type(
+                    buf[o3:o3 + 12].reshape(3, 4), jnp.float32)
+                tp = sc[:2][None]
+                speed = sc[2:3]
+                wp, boxes, _labels = vm_forward(variables, rgb, lidar,
+                                                tp, tpi, speed)
+                return jnp.concatenate(
+                    [wp.astype(jnp.float32).reshape(-1),
+                     boxes.astype(jnp.float32).reshape(-1)])
+
+            packed_jit = jax.jit(packed_forward)
+            self._forward_packed = lambda buf: packed_jit(self._stacked,
+                                                          buf)
+            dummy = [jnp.zeros(rgb_sh, jnp.uint8),
+                     jnp.zeros(lid_sh, jnp.uint8),
+                     jnp.zeros((1, 2), jnp.float32),
+                     jnp.zeros(tpi_sh, jnp.uint8),
+                     jnp.zeros((1,), jnp.float32)]
+            out_sh = jax.eval_shape(vm_forward, stacked, *dummy)
+            self._wp_shape = tuple(out_sh[0].shape)
+            self._boxes_shape = tuple(out_sh[1].shape)
+            self._wp_size = int(np.prod(self._wp_shape))
+        else:
+            self._forward_packed = None
 
     # -------------------------------------------------------------- sensors
     def sensors(self) -> List[Dict[str, Any]]:
@@ -324,10 +381,19 @@ class HybridAgent(AutonomousAgent):
             is_stuck = True
             self.forced_move += 1
 
-        fwd_args = [jnp.asarray(rgb), jnp.asarray(lidar_bev),
-                    jnp.asarray(target_point), jnp.asarray(tp_image),
-                    jnp.asarray(speed)]
-        if self.backbone == "geometric_fusion":
+        if self._forward_packed is not None:
+            # ONE upload, one dispatch, (later) one fetch — see
+            # _build_ensemble's packed path for why.
+            scal = np.concatenate(
+                [np.asarray(target_point, np.float32).ravel(),
+                 np.asarray(speed, np.float32).ravel()])
+            buf = np.concatenate([rgb.ravel(), lidar_bev.ravel(),
+                                  tp_image.ravel(), scal.view(np.uint8)])
+            out = self._forward_packed(jnp.asarray(buf))
+        else:
+            fwd_args = [jnp.asarray(rgb), jnp.asarray(lidar_bev),
+                        jnp.asarray(target_point), jnp.asarray(tp_image),
+                        jnp.asarray(speed)]
             # per-frame correspondence grids from the raw cloud
             # (submission_agent.py:302-312)
             from ..data.correspondences import lidar_cam_correspondences
@@ -335,13 +401,13 @@ class HybridAgent(AutonomousAgent):
                 tick_data["lidar"][:, :3])
             fwd_args += [jnp.asarray(bev_pts[None]),
                          jnp.asarray(cam_pts[None])]
-        wp, boxes, _labels = self._forward(*fwd_args)
+            out = self._forward(*fwd_args)
         if ctrl.pipelined_fetch:
             # Swap in the PREVIOUS compute frame's (already executing)
             # outputs and let this frame's forward run while the sim
             # advances — the fetch below then waits only on work that has
             # had a full frame to complete.
-            pending, self._pending = self._pending, (wp, boxes)
+            pending, self._pending = self._pending, out
             if pending is None:
                 # pipeline priming: no result yet, hold the last control
                 self.gps_buffer.update(
@@ -349,9 +415,15 @@ class HybridAgent(AutonomousAgent):
                     self.control.brake > 0.5, tick_data["compass"],
                     tick_data["speed"])
                 return self.control
-            wp, boxes = pending
-        wp = np.asarray(wp)            # (n_models, 1, 4, 2)
-        boxes = np.asarray(boxes)      # (n_models, 1, k, 8)
+            out = pending
+        if self._forward_packed is not None:
+            flat = np.asarray(out)     # the ONE device->host round trip
+            wp = flat[:self._wp_size].reshape(self._wp_shape)
+            boxes = flat[self._wp_size:].reshape(self._boxes_shape)
+        else:
+            wp, boxes, _labels = out
+            wp = np.asarray(wp)        # (n_models, 1, 4, 2)
+            boxes = np.asarray(boxes)  # (n_models, 1, k, 8)
 
         # ---------------- ensemble fusion
         pred_wp = wp.mean(axis=0)[0]   # mean over members (then the
