@@ -34,9 +34,21 @@ def main() -> None:
                         "this 1-core CPU). Run NOTHING else on the chip.")
     args = p.parse_args()
 
+    import os
+
     import jax
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+    try:  # persistent compile cache: the full-scale packed forward takes
+        # minutes on the remote compiler; route 2+ (and reruns) must hit
+        # the cache instead of recompiling per agent instance
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jax_cache_tpu" if args.tpu
+                                         else "/tmp/jax_cache_tests"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from transfuser_tpu.agents.hybrid_agent import HybridAgent
     from transfuser_tpu.tools.expert_benchmark import run_expert_benchmark

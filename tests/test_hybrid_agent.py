@@ -21,8 +21,8 @@ from transfuser_tpu.train.checkpoint import (list_ensemble_weights,
 from helpers import tiny_config
 
 
-def _make_model_dir(tmp_path, n_members=2):
-    cfg = tiny_config()
+def _make_model_dir(tmp_path, n_members=2, backbone="transFuser"):
+    cfg = tiny_config(backbone=backbone)
     model_dir = str(tmp_path / "model_ckpt")
     os.makedirs(model_dir, exist_ok=True)
     save_config_snapshot(model_dir, cfg)
@@ -30,10 +30,17 @@ def _make_model_dir(tmp_path, n_members=2):
     model = LidarCenterNet(cfg, dtype=jnp.float32)
     batch = synthetic_batch(cfg, 1, img_hw=(64, 128), lidar_hw=(64, 64),
                             bev_hw=(40, 40))
+
+    def extras(b):
+        if backbone != "geometric_fusion":
+            return {}
+        return dict(bev_points=b["bev_points"], cam_points=b["cam_points"])
+
     for m in range(n_members):
         variables = jax.jit(lambda rngs, b: model.init(
             rngs, b["rgb"], b["lidar"], b["target_point"],
-            b["target_point_image"], b["speed"], train=False))(
+            b["target_point_image"], b["speed"], train=False,
+            **extras(b)))(
             {"params": jax.random.PRNGKey(m),
              "dropout": jax.random.PRNGKey(100 + m)}, batch)
         save_inference_weights(
@@ -216,14 +223,17 @@ def test_agent_pipelined_fetch(tmp_path):
     assert len(agent.gps_buffer) == 6
 
 
-def test_packed_forward_matches_direct(tmp_path):
+@pytest.mark.parametrize("backbone", ["transFuser", "geometric_fusion"])
+def test_packed_forward_matches_direct(tmp_path, backbone):
     """The single-RPC packed frame path (one uint8 buffer up, one
     flattened array down — PERF_NOTES 'HybridAgent RPC census') must be
-    numerically identical to calling the vmapped ensemble with the five
+    numerically identical to calling the vmapped ensemble with the
     separate arrays, including the float32 target_point/speed bitcast
-    round trip through uint8 bytes."""
+    round trip through uint8 bytes and (geometric_fusion) the int32
+    correspondence grids' round trip through uint8 cell indices."""
     import jax.numpy as jnp
-    cfg, model_dir = _make_model_dir(tmp_path, n_members=2)
+    cfg, model_dir = _make_model_dir(tmp_path, n_members=2,
+                                     backbone=backbone)
     from transfuser_tpu.agents.hybrid_agent import HybridAgent
 
     agent = HybridAgent(model_dir)
@@ -237,14 +247,30 @@ def test_packed_forward_matches_direct(tmp_path):
     target_point = np.array([[7.25, -3.5]], np.float32)
     speed = np.array([2.125], np.float32)
 
-    direct = agent._forward(jnp.asarray(rgb), jnp.asarray(lidar),
-                            jnp.asarray(target_point), jnp.asarray(tpi),
-                            jnp.asarray(speed))
+    direct_args = [jnp.asarray(rgb), jnp.asarray(lidar),
+                   jnp.asarray(target_point), jnp.asarray(tpi),
+                   jnp.asarray(speed)]
+    geo_parts = []
+    if backbone == "geometric_fusion":
+        g = cfg.model.gpt
+        bev_pts = rng.integers(
+            0, min(g.img_vert_anchors, g.img_horz_anchors),
+            (1, g.lidar_vert_anchors, g.lidar_horz_anchors, 5, 2)
+        ).astype(np.int32)
+        cam_pts = rng.integers(
+            0, min(g.lidar_vert_anchors, g.lidar_horz_anchors),
+            (1, g.img_vert_anchors, g.img_horz_anchors, 5, 2)
+        ).astype(np.int32)
+        direct_args += [jnp.asarray(bev_pts), jnp.asarray(cam_pts)]
+        geo_parts = [bev_pts.astype(np.uint8).ravel(),
+                     cam_pts.astype(np.uint8).ravel()]
+
+    direct = agent._forward(*direct_args)
     wp_d, boxes_d = np.asarray(direct[0]), np.asarray(direct[1])
 
     scal = np.concatenate([target_point.ravel(), speed.ravel()])
     buf = np.concatenate([rgb.ravel(), lidar.ravel(), tpi.ravel(),
-                          scal.view(np.uint8)])
+                          scal.view(np.uint8)] + geo_parts)
     flat = np.asarray(agent._forward_packed(jnp.asarray(buf)))
     wp_p = flat[:agent._wp_size].reshape(agent._wp_shape)
     boxes_p = flat[agent._wp_size:].reshape(agent._boxes_shape)

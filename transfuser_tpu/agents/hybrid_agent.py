@@ -50,9 +50,10 @@ from .base import AutonomousAgent, Track
 
 
 class HybridAgent(AutonomousAgent):
-    # single-RPC frame path; set by _build_ensemble for non-geometric
-    # backbones (class default so stubbed/partial builds fall back to
-    # the multi-array _forward path)
+    # single-RPC frame path; set by _build_ensemble for EVERY backbone
+    # family (geometric_fusion packs its correspondence grids as uint8
+    # cell indices). The class default keeps stubbed/partial builds on
+    # the multi-array _forward path, which run_step still supports.
     _forward_packed = None
 
     def setup(self, path_to_conf_file: str,
@@ -200,56 +201,71 @@ class HybridAgent(AutonomousAgent):
         self._stacked = stacked
         self._forward = lambda *args: ensemble_forward(self._stacked, *args)
 
-        if not geometric:
-            # Single-RPC frame path: run_step's five separate jnp.asarray
-            # uploads plus two output fetches paid the axon tunnel's
-            # ~26 ms per-call floor EIGHT times per compute frame
-            # (measured ~430 ms wall per 50 ms sim tick on the trained
-            # 36-route eval, PERF_NOTES "HybridAgent RPC census"). All
-            # inputs are uint8 except 3 floats, so one packed uint8
-            # buffer crosses the tunnel, unpacks in-graph, and the two
-            # outputs come back as ONE flattened array: 8 RPCs -> 3.
-            s = cfg.sensors
-            rgb_sh = tuple(example["rgb"].shape)
-            lid_sh = tuple(example["lidar"].shape)
-            tpi_sh = tuple(example["target_point_image"].shape)
-            n_rgb = int(np.prod(rgb_sh))
-            n_lid = int(np.prod(lid_sh))
-            n_tpi = int(np.prod(tpi_sh))
-            self._pack_layout = (rgb_sh, lid_sh, tpi_sh,
-                                 n_rgb, n_lid, n_tpi)
-
-            def packed_forward(variables, buf):
-                o1, o2, o3 = n_rgb, n_rgb + n_lid, n_rgb + n_lid + n_tpi
-                rgb = buf[:o1].reshape(rgb_sh)
-                lidar = buf[o1:o2].reshape(lid_sh)
-                tpi = buf[o2:o3].reshape(tpi_sh)
-                # 3 float32 (target_point x/y, speed) bitcast from the
-                # trailing 12 bytes (little-endian both sides)
-                sc = jax.lax.bitcast_convert_type(
-                    buf[o3:o3 + 12].reshape(3, 4), jnp.float32)
-                tp = sc[:2][None]
-                speed = sc[2:3]
-                wp, boxes, _labels = vm_forward(variables, rgb, lidar,
-                                                tp, tpi, speed)
-                return jnp.concatenate(
-                    [wp.astype(jnp.float32).reshape(-1),
-                     boxes.astype(jnp.float32).reshape(-1)])
-
-            packed_jit = jax.jit(packed_forward)
-            self._forward_packed = lambda buf: packed_jit(self._stacked,
-                                                          buf)
-            dummy = [jnp.zeros(rgb_sh, jnp.uint8),
-                     jnp.zeros(lid_sh, jnp.uint8),
-                     jnp.zeros((1, 2), jnp.float32),
-                     jnp.zeros(tpi_sh, jnp.uint8),
-                     jnp.zeros((1,), jnp.float32)]
-            out_sh = jax.eval_shape(vm_forward, stacked, *dummy)
-            self._wp_shape = tuple(out_sh[0].shape)
-            self._boxes_shape = tuple(out_sh[1].shape)
-            self._wp_size = int(np.prod(self._wp_shape))
+        # Single-RPC frame path: run_step's five separate jnp.asarray
+        # uploads plus two output fetches paid the axon tunnel's
+        # ~26 ms per-call floor EIGHT times per compute frame
+        # (measured ~430 ms wall per 50 ms sim tick on the trained
+        # 36-route eval, PERF_NOTES "HybridAgent RPC census"). All
+        # inputs are uint8 except 3 floats, so one packed uint8
+        # buffer crosses the tunnel, unpacks in-graph, and the two
+        # outputs come back as ONE flattened array: 8 RPCs -> 3.
+        # geometric_fusion's per-frame correspondence grids pack too:
+        # every entry is a /32-scale CELL index (< 22), so the int32
+        # grids round-trip through uint8 exactly.
+        rgb_sh = tuple(example["rgb"].shape)
+        lid_sh = tuple(example["lidar"].shape)
+        tpi_sh = tuple(example["target_point_image"].shape)
+        n_rgb = int(np.prod(rgb_sh))
+        n_lid = int(np.prod(lid_sh))
+        n_tpi = int(np.prod(tpi_sh))
+        self._pack_layout = (rgb_sh, lid_sh, tpi_sh,
+                             n_rgb, n_lid, n_tpi)
+        if geometric:
+            bev_sh = tuple(example["bev_points"].shape)
+            cam_sh = tuple(example["cam_points"].shape)
+            n_bev = int(np.prod(bev_sh))
+            n_cam = int(np.prod(cam_sh))
         else:
-            self._forward_packed = None
+            bev_sh = cam_sh = None
+            n_bev = n_cam = 0
+
+        def packed_forward(variables, buf):
+            o1, o2, o3 = n_rgb, n_rgb + n_lid, n_rgb + n_lid + n_tpi
+            rgb = buf[:o1].reshape(rgb_sh)
+            lidar = buf[o1:o2].reshape(lid_sh)
+            tpi = buf[o2:o3].reshape(tpi_sh)
+            # 3 float32 (target_point x/y, speed) bitcast from the
+            # next 12 bytes (little-endian both sides)
+            sc = jax.lax.bitcast_convert_type(
+                buf[o3:o3 + 12].reshape(3, 4), jnp.float32)
+            tp = sc[:2][None]
+            speed = sc[2:3]
+            geo = ()
+            if geometric:
+                o4 = o3 + 12
+                geo = (buf[o4:o4 + n_bev].astype(jnp.int32).reshape(bev_sh),
+                       buf[o4 + n_bev:o4 + n_bev + n_cam]
+                       .astype(jnp.int32).reshape(cam_sh))
+            wp, boxes, _labels = vm_forward(variables, rgb, lidar,
+                                            tp, tpi, speed, *geo)
+            return jnp.concatenate(
+                [wp.astype(jnp.float32).reshape(-1),
+                 boxes.astype(jnp.float32).reshape(-1)])
+
+        packed_jit = jax.jit(packed_forward)
+        self._forward_packed = lambda buf: packed_jit(self._stacked, buf)
+        dummy = [jnp.zeros(rgb_sh, jnp.uint8),
+                 jnp.zeros(lid_sh, jnp.uint8),
+                 jnp.zeros((1, 2), jnp.float32),
+                 jnp.zeros(tpi_sh, jnp.uint8),
+                 jnp.zeros((1,), jnp.float32)]
+        if geometric:
+            dummy += [jnp.zeros(bev_sh, jnp.int32),
+                      jnp.zeros(cam_sh, jnp.int32)]
+        out_sh = jax.eval_shape(vm_forward, stacked, *dummy)
+        self._wp_shape = tuple(out_sh[0].shape)
+        self._boxes_shape = tuple(out_sh[1].shape)
+        self._wp_size = int(np.prod(self._wp_shape))
 
     # -------------------------------------------------------------- sensors
     def sensors(self) -> List[Dict[str, Any]]:
@@ -381,26 +397,34 @@ class HybridAgent(AutonomousAgent):
             is_stuck = True
             self.forced_move += 1
 
+        geometric = self.backbone == "geometric_fusion"
+        if geometric:
+            # per-frame correspondence grids from the raw cloud
+            # (submission_agent.py:302-312); cell indices < 22 so they
+            # ride the packed uint8 wire exactly
+            from ..data.correspondences import lidar_cam_correspondences
+            bev_pts, cam_pts = lidar_cam_correspondences(
+                tick_data["lidar"][:, :3])
         if self._forward_packed is not None:
             # ONE upload, one dispatch, (later) one fetch — see
             # _build_ensemble's packed path for why.
             scal = np.concatenate(
                 [np.asarray(target_point, np.float32).ravel(),
                  np.asarray(speed, np.float32).ravel()])
-            buf = np.concatenate([rgb.ravel(), lidar_bev.ravel(),
-                                  tp_image.ravel(), scal.view(np.uint8)])
+            parts = [rgb.ravel(), lidar_bev.ravel(),
+                     tp_image.ravel(), scal.view(np.uint8)]
+            if geometric:
+                parts += [bev_pts.astype(np.uint8).ravel(),
+                          cam_pts.astype(np.uint8).ravel()]
+            buf = np.concatenate(parts)
             out = self._forward_packed(jnp.asarray(buf))
         else:
             fwd_args = [jnp.asarray(rgb), jnp.asarray(lidar_bev),
                         jnp.asarray(target_point), jnp.asarray(tp_image),
                         jnp.asarray(speed)]
-            # per-frame correspondence grids from the raw cloud
-            # (submission_agent.py:302-312)
-            from ..data.correspondences import lidar_cam_correspondences
-            bev_pts, cam_pts = lidar_cam_correspondences(
-                tick_data["lidar"][:, :3])
-            fwd_args += [jnp.asarray(bev_pts[None]),
-                         jnp.asarray(cam_pts[None])]
+            if geometric:
+                fwd_args += [jnp.asarray(bev_pts[None]),
+                             jnp.asarray(cam_pts[None])]
             out = self._forward(*fwd_args)
         if ctrl.pipelined_fetch:
             # Swap in the PREVIOUS compute frame's (already executing)

@@ -197,6 +197,10 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    # Global-norm gradient clipping. The reference trains without it
+    # (train.py:138-142) but the round-4 flagship run logged loss_wp
+    # spikes (12.47 @ epoch 6, 8.14 @ epoch 8) with no guard; 0 = off.
+    grad_clip_norm: float = 1.0
     augment: bool = True
     inv_augment_prob: float = 0.1
     aug_max_rotation: float = 20.0  # degrees

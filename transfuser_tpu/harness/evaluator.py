@@ -96,6 +96,20 @@ def default_sensor_feeder(sim, agent: AutonomousAgent) -> None:
             continue
         else:
             continue
+        if lazy:
+            # The thunks close over the LIVE sim: a deferred read after
+            # sim.tick() would silently return sensor data rendered from
+            # advanced sim state. Fail loudly instead (the lazy contract
+            # is same-tick evaluation; see the docstring above).
+            def data(fn=data, fed=sim.frame, tag=tag):
+                cur = sim.frame
+                if cur != fed:
+                    raise RuntimeError(
+                        f"lazy sensor '{tag}' evaluated at sim frame "
+                        f"{cur} but was fed at frame {fed}: sensor "
+                        "payloads must be read the same tick they were "
+                        "queued")
+                return fn()
         agent.sensor_interface.update_sensor(tag, data, sim.frame, lazy=lazy)
 
 

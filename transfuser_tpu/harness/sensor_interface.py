@@ -37,7 +37,11 @@ class LazySensorData(dict):
     synthesis) materialize on first access — an agent that only reads
     them every Nth tick (the DataAgent saves at 2 Hz against a 20 Hz
     sim) never pays for the other N-1 synths. Same idiom as
-    sim.replay._LazyFrame."""
+    sim.replay._LazyFrame.
+
+    Consume via indexing / get / items / values (what agents do).
+    copy()/dict(...)/pickle materialize everything first; bypassing
+    that with e.g. ``{**d}`` would leak raw _LazyEntry objects."""
 
     def __getitem__(self, key):
         v = dict.__getitem__(self, key)
@@ -54,6 +58,18 @@ class LazySensorData(dict):
 
     def values(self):
         return [self[k] for k in dict.keys(self)]
+
+    def _materialize(self) -> None:
+        for k in dict.keys(self):
+            self[k]
+
+    def copy(self):
+        self._materialize()
+        return LazySensorData(dict.items(self))
+
+    def __reduce__(self):  # pickle/deepcopy see only real payloads
+        self._materialize()
+        return (LazySensorData, (dict(dict.items(self)),))
 
 
 class SensorInterface:

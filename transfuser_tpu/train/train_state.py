@@ -38,8 +38,14 @@ def make_optimizer(config: GlobalConfig,
             })
     else:
         schedule = t.lr
-    return optax.adamw(schedule, b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
-                       weight_decay=t.weight_decay)
+    adamw = optax.adamw(schedule, b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
+                        weight_decay=t.weight_decay)
+    if t.grad_clip_norm and t.grad_clip_norm > 0:
+        # clip BEFORE the moment update so one bad batch can't poison
+        # the Adam statistics (the round-4 loss_wp spikes, VERDICT r4)
+        return optax.chain(optax.clip_by_global_norm(t.grad_clip_norm),
+                           adamw)
+    return adamw
 
 
 def create_train_state(variables: Dict[str, Any],
