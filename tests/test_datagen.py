@@ -116,6 +116,88 @@ def test_camera_semantic_depth_and_tl_relabel():
     assert (sem == 18).sum() < before
 
 
+def _light_actor_for_heading(town, heading_deg):
+    spec = next(tl for tl in town.traffic_lights
+                if tl.transform.rotation.yaw == heading_deg)
+    return Actor(3000 + spec.light_id, "traffic_light",
+                 transform=spec.transform, state="Red")
+
+
+def test_light_state_visible_from_stop_line():
+    """The camera must show the ego ITS light's color while stopped at the
+    line (real CARLA: the rgb camera sees the lit bulb; a policy that
+    cannot tell red from green never learns to pull away — the round-5
+    trained-eval stall). The near pole is ~70 deg off-axis at the line
+    with the 60-deg datagen rig, so the rasterizer also hangs a far-side
+    head across the junction (sensors._light_head_boxes)."""
+    from transfuser_tpu.sim.sensors import (TL_BACK, TL_RED, TL_YELLOW,
+                                            TRAFFIC_LIGHT)
+    town = grid_town(blocks=2, block_size=80.0, lights_at=((1, 1),))
+    light = _light_actor_for_heading(town, 0)
+    # stopped at the stop line of the +x approach into junction (80, 80)
+    ego = Transform(Location(69.5, 78.25), Rotation(yaw=0.0))
+    sim = ReplaySimulation([ego, Transform(Location(95.0, 78.25),
+                                           Rotation(yaw=0.0))],
+                           actors=[light], town_map=town)
+    cam = PinholeCamera(320, 160, 60)
+    sem, _depth = cam.render(sim)
+    assert (sem == TL_RED).sum() > 0, "red state invisible from the line"
+
+    light.state = "Green"
+    sim._pose_render_cache.clear()
+    sim._camera_cache.clear()
+    sem_g, _ = cam.render(sim)
+    assert (sem_g == TL_RED).sum() == 0
+    assert (sem_g == TRAFFIC_LIGHT).sum() > 0, "green head not rendered"
+
+    # the raw semantic SENSOR is state-blind (CARLA parity): only 18
+    light.state = "Red"
+    sim._pose_render_cache.clear()
+    sim._camera_cache.clear()
+    spec = {"id": "semantics_x", "width": 320, "height": 160, "fov": 60}
+    raw = sim.render_camera(spec, "semantic")[..., 0]
+    for forbidden in (TL_RED, TL_YELLOW, TL_BACK):
+        assert (raw == forbidden).sum() == 0, forbidden
+    assert (raw == TRAFFIC_LIGHT).sum() > 0
+
+    # and the rgb palette render carries unmistakably red pixels there
+    rgb = sim.render_camera({**spec, "id": "rgb_x"}, "rgb").astype(int)
+    internal = cam.render(sim)[0]
+    reds = rgb[internal == TL_RED]
+    assert reds.shape[0] > 0
+    assert reds[:, 0].mean() > 150 and reds[:, 1].mean() < 110
+
+
+def test_light_back_side_hides_state():
+    """A camera behind a signal head sees the dark housing, never the
+    bulb color (you must not read the cross street's state off its back)."""
+    from transfuser_tpu.sim.sensors import TL_BACK, TL_RED
+    town = grid_town(blocks=2, block_size=80.0, lights_at=((1, 1),))
+    light = _light_actor_for_heading(town, 0)
+    assert light.state == "Red"
+    # ego past the junction, looking BACK at the +x approach's heads
+    ego = Transform(Location(97.0, 78.25), Rotation(yaw=180.0))
+    sim = ReplaySimulation([ego, Transform(Location(60.0, 78.25),
+                                           Rotation(yaw=180.0))],
+                           actors=[light], town_map=town)
+    sem, _ = PinholeCamera(320, 160, 60).render(sim)
+    assert (sem == TL_RED).sum() == 0, "state readable from behind"
+    assert (sem == TL_BACK).sum() > 0, "housing not rendered"
+
+
+def test_light_emissive_at_night():
+    """Signal bulbs are emissive: full brightness at night while the rest
+    of the frame dims (what makes night driving learnable)."""
+    from transfuser_tpu.sim.sensors import TL_RED, semantic_to_rgb
+    sem = np.full((8, 8), 7, np.uint8)
+    sem[2, 2] = TL_RED
+    rng = np.random.default_rng(0)
+    noon = semantic_to_rgb(sem, rng, weather={"daytime": "Noon"})
+    night = semantic_to_rgb(sem, rng, weather={"daytime": "Night"})
+    assert night[4:, 4:].mean() < 0.5 * noon[4:, 4:].mean()
+    assert night[2, 2, 0] > 180, "bulb dimmed at night"
+
+
 def test_depth_encoding_roundtrip():
     d = np.array([[0.0, 1.0, 10.0, 42.5, 999.0]])
     rgb = encode_depth_rgb(d)

@@ -321,7 +321,17 @@ class ReplaySimulation:
             sem, depth = cam.render(self)
             self._pose_render_cache[pose_key] = (self.frame, sem, depth)
         if kind == "semantic":
-            data = sem[..., None]
+            # CARLA's semantic camera is state-blind: every light pixel is
+            # class 18 regardless of bulb color or viewing side. The
+            # rasterizer's internal state ids (23/24) and housing id (25)
+            # exist for the rgb palette render only; datagen re-adds state
+            # to the LABELS with privileged access (DataAgent._change_seg_tl,
+            # reference data_agent.py:562-581).
+            from .sensors import TL_BACK, TL_RED, TL_YELLOW, TRAFFIC_LIGHT
+            raw = sem.copy()
+            raw[(raw == TL_RED) | (raw == TL_YELLOW) | (raw == TL_BACK)] \
+                = TRAFFIC_LIGHT
+            data = raw[..., None]
         elif kind == "depth":
             data = encode_depth_rgb(depth)
         else:

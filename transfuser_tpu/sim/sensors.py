@@ -31,13 +31,34 @@ SIDEWALK = 8
 VEHICLE = 10
 PEDESTRIAN = 4
 TRAFFIC_LIGHT = 18
+# State-split light classes, same ids the reference's datagen assigns
+# when it re-labels the ego-relevant light (data_agent.py:562-581:
+# red -> 23, yellow -> 24, green stays 18). The RASTERIZER paints every
+# light with its true state id so the rgb palette render can show the
+# bulb color — in real CARLA the rgb camera sees the lit bulb, and a
+# closed-loop policy that cannot tell red from green can never learn to
+# pull away from a stop. The raw 'semantics' SENSOR output downgrades
+# 23/24 back to 18 (CARLA's semantic camera is state-blind; datagen
+# re-adds state with privileged access, agents/data_agent.py).
+TL_RED = 23
+TL_YELLOW = 24
+# internal render-only id: the back/side of a light head (dark housing,
+# state invisible — a camera behind a signal must not read its color).
+# Never reaches the semantic sensor output (downgraded to 18 with 23/24).
+TL_BACK = 25
 
 # flat render colors for the synthetic rgb camera (id -> rgb)
 _PALETTE = {
     SKY: (135, 206, 235), ROAD: (70, 70, 70), SIDEWALK: (160, 160, 160),
     VEHICLE: (0, 0, 142), PEDESTRIAN: (220, 20, 60),
-    TRAFFIC_LIGHT: (250, 170, 30), 0: (30, 60, 30),
+    TRAFFIC_LIGHT: (45, 210, 80), TL_RED: (235, 40, 40),
+    TL_YELLOW: (250, 200, 40), TL_BACK: (55, 55, 55), 0: (30, 60, 30),
 }
+
+# traffic-light bulbs are emissive: they keep full brightness at night
+# and are not dimmed by weather (they are the brightest pixels in a real
+# night frame, which is exactly what makes night driving learnable)
+_EMISSIVE = (TRAFFIC_LIGHT, TL_RED, TL_YELLOW)
 
 
 def encode_depth_rgb(depth_m: np.ndarray) -> np.ndarray:
@@ -80,7 +101,8 @@ def semantic_to_rgb(sem: np.ndarray, rng: np.random.Generator,
     d = (weather or {}).get("daytime", "Noon")
     if w in ("Wet", "WetCloudy", "MidRain", "HardRain", "SoftRain"):
         rgb[sem == ROAD] *= 0.6  # wet asphalt reads darker
-    rgb *= _DAYTIME_BRIGHTNESS.get(d, 1.0)
+    emissive = np.isin(sem, _EMISSIVE)
+    rgb[~emissive] *= _DAYTIME_BRIGHTNESS.get(d, 1.0)
     noise_amp = _WEATHER_NOISE.get(w, 12)
     noise = rng.integers(-noise_amp, noise_amp + 1, rgb.shape,
                          dtype=np.int16)
@@ -204,22 +226,23 @@ class PinholeCamera:
             if d < 120.0:
                 actors.append((d, a))
         actors.sort(key=lambda p: -p[0])
+        boxes = []  # (cx, cy, yaw_deg, half, base_z, cls_id)
         for d, a in actors:
             if a.type_id.startswith("traffic_light"):
-                cls_id = TRAFFIC_LIGHT
-                half = np.array([0.3, 0.3, 1.5])
-                base_z = 2.0  # head mounted above ground
-            elif a.type_id.startswith("walker"):
+                boxes.extend(_light_head_boxes(a, sim, ego_xy))
+                continue
+            if a.type_id.startswith("walker"):
                 cls_id = PEDESTRIAN
-                half = np.array([a.extent.x, a.extent.y, a.extent.z])
-                base_z = 0.0
             elif a.type_id.startswith("vehicle"):
                 cls_id = VEHICLE
-                half = np.array([a.extent.x, a.extent.y, a.extent.z])
-                base_z = 0.0
             else:
                 continue
-            corners = _box_corners_world(a.transform, half, base_z)
+            boxes.append((a.transform.location.x, a.transform.location.y,
+                          a.transform.rotation.yaw,
+                          np.array([a.extent.x, a.extent.y, a.extent.z]),
+                          0.0, cls_id))
+        for bx, by, byaw, half, base_z, cls_id in boxes:
+            corners = _box_corners_world(bx, by, byaw, half, base_z)
             cam = self._world_to_cam(corners, ego_xy, ego_yaw)
             if np.all(cam[:, 0] <= 0.2):
                 continue
@@ -239,11 +262,61 @@ class PinholeCamera:
         return sem, depth
 
 
-def _box_corners_world(transform, half: np.ndarray,
-                       base_z: float) -> np.ndarray:
+_TL_STATE_ID = {"Red": TL_RED, "Yellow": TL_YELLOW, "Green": TRAFFIC_LIGHT}
+
+
+def _light_head_boxes(actor, sim, ego_xy: np.ndarray):
+    """Render boxes for one traffic-light actor: the near-side pole head
+    plus a far-side head mirrored across the junction center along the
+    approach axis (US-style far-side signal).
+
+    Why two heads: real CARLA's rgb camera sees the lit bulb from the stop
+    line because its towns hang far-side signals; with only the near pole
+    (4 m right of the outer lane) a 60-degree camera loses the light
+    exactly when the ego stops at the line, so a trained policy could
+    never see its light turn green — measured as the round-5 trained-eval
+    stall (car stops at the first red and never restarts).
+
+    Heads are directional: a camera on the faced side (approaching
+    traffic) sees the state id (18 green / 23 red / 24 yellow, the
+    reference datagen's id convention, data_agent.py:562-581); any other
+    view sees the dark housing TL_BACK — you must not be able to read the
+    cross street's signal color off its back.
+    """
+    loc = actor.transform.location
+    yaw_deg = actor.transform.rotation.yaw
+    yaw = math.radians(yaw_deg)
+    fwd = (math.cos(yaw), math.sin(yaw))
+    state_id = _TL_STATE_ID.get(getattr(actor, "state", "Green"),
+                                TRAFFIC_LIGHT)
+
+    def _faced(hx: float, hy: float) -> bool:
+        # the head faces approaching traffic: ego must be BEHIND it
+        # along the approach direction to read the bulb
+        return ((ego_xy[0] - hx) * fwd[0] + (ego_xy[1] - hy) * fwd[1]) < 0.0
+
+    out = [(loc.x, loc.y, yaw_deg, np.array([0.3, 0.3, 1.5]), 2.0,
+            state_id if _faced(loc.x, loc.y) else TL_BACK)]
+    tm = getattr(sim, "town_map", None)
+    for (cx, cy), half_box in (getattr(tm, "junction_boxes", None) or ()):
+        along = (cx - loc.x) * fwd[0] + (cy - loc.y) * fwd[1]
+        lat = abs((cy - loc.y) * fwd[0] - (cx - loc.x) * fwd[1])
+        if 1.0 < along <= half_box + 14.0 and lat <= half_box + 14.0:
+            # mirror the pole across the junction center along the
+            # approach axis; mount the head mast-arm high (z 3.4-4.5 m)
+            # so stopped vehicles never occlude it
+            fx = loc.x + 2.0 * along * fwd[0]
+            fy = loc.y + 2.0 * along * fwd[1]
+            out.append((fx, fy, yaw_deg, np.array([0.3, 0.3, 0.55]), 3.4,
+                        state_id if _faced(fx, fy) else TL_BACK))
+            break
+    return out
+
+
+def _box_corners_world(cx: float, cy: float, yaw_deg: float,
+                       half: np.ndarray, base_z: float) -> np.ndarray:
     """8 world-frame corners of an upright box sitting base_z above ground."""
-    cx, cy = transform.location.x, transform.location.y
-    yaw = math.radians(transform.rotation.yaw)
+    yaw = math.radians(yaw_deg)
     c, s = math.cos(yaw), math.sin(yaw)
     out = []
     for sx in (-1, 1):
