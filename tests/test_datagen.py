@@ -198,6 +198,32 @@ def test_light_emissive_at_night():
     assert night[2, 2, 0] > 180, "bulb dimmed at night"
 
 
+def test_crop_equivalent_rig_matches_center_crop():
+    """The eval agent's 320x160 fov-60 rig must produce the same pixels
+    as the center 320x160 crop of the reference's 960x480 fov-120 rig
+    (same focal length 277.128 px, same principal axis — see
+    SensorConfig.crop_equivalent_rig)."""
+    town = grid_town(blocks=2, block_size=80.0, lights_at=((1, 1),))
+    light = _light_actor_for_heading(town, 0)
+    car = Actor(6, "vehicle.car", Transform(Location(50.0, 76.0)))
+    ego = Transform(Location(30.0, 78.25), Rotation(yaw=0.0))
+    sim = ReplaySimulation([ego, Transform(Location(90.0, 78.25),
+                                           Rotation(yaw=0.0))],
+                           actors=[light, car], town_map=town)
+    full = PinholeCamera(960, 480, 120)
+    fx = 960 / (2.0 * math.tan(math.radians(120) / 2.0))
+    fov_small = math.degrees(2.0 * math.atan(320 / (2.0 * fx)))
+    small = PinholeCamera(320, 160, fov_small)
+    sem_full, _ = full.render(sim)
+    sim._pose_render_cache.clear()
+    sem_small, _ = small.render(sim)
+    crop = sem_full[160:320, 320:640]
+    # identical up to sub-ulp focal-length roundtrip at class boundaries
+    frac_diff = (crop != sem_small).mean()
+    assert frac_diff < 0.005, frac_diff
+    assert (sem_small == 10).any()  # the car is in frame either way
+
+
 def test_depth_encoding_roundtrip():
     d = np.array([[0.0, 1.0, 10.0, 42.5, 999.0]])
     rgb = encode_depth_rgb(d)

@@ -223,6 +223,52 @@ def test_agent_pipelined_fetch(tmp_path):
     assert len(agent.gps_buffer) == 6
 
 
+def test_agent_async_inference(tmp_path):
+    """async_inference=True: the packed upload->dispatch->fetch chain runs
+    on the _InferenceWorker thread; the control loop sees the same
+    one-frame lag as pipelined_fetch but never blocks on the tunnel. The
+    controls stream must match the pipelined mode exactly (same model,
+    same lag, same priming)."""
+    import dataclasses
+
+    from transfuser_tpu.agents.hybrid_agent import HybridAgent
+    from transfuser_tpu.harness.evaluator import default_sensor_feeder
+    from transfuser_tpu.harness.route_parser import (RoadOption,
+                                                     location_route_to_gps)
+    from transfuser_tpu.sim.replay import ReplaySimulation
+    from transfuser_tpu.sim.types import Location, Transform
+
+    cfg, model_dir = _make_model_dir(tmp_path, n_members=1)
+    traj = [Transform(Location(float(x), 0.0)) for x in range(0, 100, 10)]
+    plan = location_route_to_gps([(t, RoadOption.LANEFOLLOW) for t in traj])
+
+    def drive(**ctrl_kw):
+        agent = HybridAgent(model_dir)
+        agent.config = agent.config.replace(
+            controller=dataclasses.replace(agent.config.controller,
+                                           **ctrl_kw))
+        agent.set_global_plan(plan,
+                              [(t, RoadOption.LANEFOLLOW) for t in traj])
+        for spec in agent.sensors():
+            agent.sensor_interface.register_sensor(spec["id"], spec["type"])
+        sim = ReplaySimulation(traj, fps=20)
+        controls = []
+        for _ in range(8):
+            default_sensor_feeder(sim, agent)
+            controls.append(agent(sim.game_time))
+            sim.tick()
+        agent.destroy()
+        return agent, controls
+
+    agent_a, async_controls = drive(async_inference=True)
+    assert agent_a._worker is None  # destroy() closed it
+    assert agent_a.pred_wp is not None
+    _, piped_controls = drive(pipelined_fetch=True)
+    for a, p in zip(async_controls, piped_controls):
+        assert a.steer == p.steer and a.throttle == p.throttle \
+            and a.brake == p.brake
+
+
 @pytest.mark.parametrize("backbone", ["transFuser", "geometric_fusion"])
 def test_packed_forward_matches_direct(tmp_path, backbone):
     """The single-RPC packed frame path (one uint8 buffer up, one

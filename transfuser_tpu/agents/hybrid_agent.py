@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import math
 import os
+import queue
+import threading
 from collections import deque
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -47,6 +49,58 @@ from ..sim.types import VehicleControl
 from ..train.checkpoint import (list_ensemble_weights, load_config_snapshot,
                                 load_inference_weights)
 from .base import AutonomousAgent, Track
+
+
+class _InferenceWorker:
+    """One background thread running the packed upload -> dispatch -> fetch
+    chain off the control loop's critical path.
+
+    ``submit(buf)`` hands frame N to the worker and returns frame N-1's
+    fetched host result (``None`` while priming) — the same one-frame lag
+    as ``ControllerConfig.pipelined_fetch``, but the ~26 ms-per-RPC tunnel
+    wall (PERF_NOTES round-4 census) now overlaps the sim's next two ticks
+    instead of blocking the agent: by the time frame N is submitted, frame
+    N-1 has had a full compute-frame of sim time to finish its ~60 ms of
+    tunnel work. After the ensemble build, every jax call happens on this
+    one thread, so the jax client still sees single-threaded use.
+    """
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._in: "queue.Queue" = queue.Queue(maxsize=1)
+        self._out: "queue.Queue" = queue.Queue(maxsize=1)
+        self._pending = False
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="hybrid-agent-inference")
+        self._thread.start()
+
+    def _loop(self) -> None:
+        while True:
+            buf = self._in.get()
+            if buf is None:
+                return
+            try:
+                self._out.put(self._fn(buf))
+            except BaseException as e:  # re-raised on the consumer side
+                self._out.put(e)
+
+    def submit(self, buf):
+        prev = None
+        if self._pending:
+            prev = self._out.get()
+            if isinstance(prev, BaseException):
+                self._pending = False
+                raise prev
+        self._in.put(buf)
+        self._pending = True
+        return prev
+
+    def close(self) -> None:
+        if self._pending:
+            self._out.get()
+            self._pending = False
+        self._in.put(None)
+        self._thread.join(timeout=30.0)
 
 
 class HybridAgent(AutonomousAgent):
@@ -125,6 +179,9 @@ class HybridAgent(AutonomousAgent):
         # fetched on the NEXT compute frame (overlaps tunnel RTT with sim
         # time; see ControllerConfig.pipelined_fetch)
         self._pending: Optional[tuple] = None
+        # async_inference: the worker thread that owns the whole
+        # upload->dispatch->fetch chain (see _InferenceWorker)
+        self._worker: Optional[_InferenceWorker] = None
 
     # ------------------------------------------------------------- ensemble
     def _build_ensemble(self, weight_files: List[str]) -> None:
@@ -274,12 +331,23 @@ class HybridAgent(AutonomousAgent):
         ctrl = cfg.controller
         cams = [("rgb_front", s.camera_rot_0), ("rgb_left", s.camera_rot_1),
                 ("rgb_right", s.camera_rot_2)]
+        if s.crop_equivalent_rig:
+            # crop-equivalent pinhole: same fx, same principal axis as the
+            # center crop of the full rig (see SensorConfig docstring);
+            # _crop_camera then no-ops on the already-cropped frame
+            cam_w, cam_h = s.img_width, s.img_resolution[0]
+            fx = s.camera_width / (2.0 * math.tan(
+                math.radians(s.camera_fov) / 2.0))
+            cam_fov = math.degrees(2.0 * math.atan(cam_w / (2.0 * fx)))
+        else:
+            cam_w, cam_h, cam_fov = (s.camera_width, s.camera_height,
+                                     s.camera_fov)
         out: List[Dict[str, Any]] = [
             {"type": "sensor.camera.rgb",
              "x": s.camera_pos[0], "y": s.camera_pos[1], "z": s.camera_pos[2],
              "roll": rot[0], "pitch": rot[1], "yaw": rot[2],
-             "width": s.camera_width, "height": s.camera_height,
-             "fov": s.camera_fov, "id": cam_id}
+             "width": cam_w, "height": cam_h,
+             "fov": cam_fov, "id": cam_id}
             for cam_id, rot in cams
         ] + [
             {"type": "sensor.other.imu", "x": 0.0, "y": 0.0, "z": 0.0,
@@ -316,15 +384,24 @@ class HybridAgent(AutonomousAgent):
         start_y = img.shape[0] // 2 - h // 2
         return img[start_y:start_y + h, start_x:start_x + w3]
 
-    def tick(self, input_data: Dict) -> Dict[str, Any]:
+    def tick(self, input_data: Dict,
+             lite: bool = False) -> Dict[str, Any]:
+        """lite=True: pose/speed only — action-repeat frames reuse the
+        previous control and never look at the model inputs, so leaving
+        the camera/lidar entries untouched lets the hermetic sim's lazy
+        sensor feeder skip three 960x480 rasterizations and a 60k-point
+        cloud synthesis per repeat frame (they cost nothing on a real
+        CARLA server, which renders regardless)."""
         s = self.config.sensors
-        strip = np.concatenate([
-            self._crop_camera(np.asarray(input_data[cam][1])[:, :, :3])
-            for cam in ("rgb_left", "rgb_front", "rgb_right")], axis=1)
-        # 160x960 -> center 160x704
-        w = s.img_resolution[1]
-        start = strip.shape[1] // 2 - w // 2
-        rgb = strip[:, start:start + w]
+        rgb = None
+        if not lite:
+            strip = np.concatenate([
+                self._crop_camera(np.asarray(input_data[cam][1])[:, :, :3])
+                for cam in ("rgb_left", "rgb_front", "rgb_right")], axis=1)
+            # 160x960 -> center 160x704
+            w = s.img_resolution[1]
+            start = strip.shape[1] // 2 - w // 2
+            rgb = strip[:, start:start + w]
 
         gps = np.asarray(input_data["gps"][1][:2], np.float64)
         speed = float(input_data["speed"][1]["speed"])
@@ -346,7 +423,7 @@ class HybridAgent(AutonomousAgent):
         result = {"rgb": rgb, "gps": pos, "speed": speed, "compass": compass,
                   "target_point": local_command,
                   "next_command": getattr(next_cmd, "value", next_cmd)}
-        if self.backbone != "latentTF":
+        if not lite and self.backbone != "latentTF":
             result["lidar"] = np.asarray(input_data["lidar"][1])[:, :3]
         return result
 
@@ -358,10 +435,11 @@ class HybridAgent(AutonomousAgent):
         if not self.initialized:
             self._init()
 
-        tick_data = self.tick(input_data)
+        repeat = self.step % ctrl.action_repeat == 1
+        tick_data = self.tick(input_data, lite=repeat)
 
         # Action repeat: reuse the previous action on odd frames.
-        if self.step % ctrl.action_repeat == 1:
+        if repeat:
             self.gps_buffer.update(self.control.steer, self.control.throttle,
                                    self.control.brake > 0.5,
                                    tick_data["compass"], tick_data["speed"])
@@ -417,7 +495,23 @@ class HybridAgent(AutonomousAgent):
                 parts += [bev_pts.astype(np.uint8).ravel(),
                           cam_pts.astype(np.uint8).ravel()]
             buf = np.concatenate(parts)
-            out = self._forward_packed(jnp.asarray(buf))
+            if ctrl.async_inference:
+                # the worker owns the whole tunnel chain; we get frame
+                # N-1's HOST result back (same lag as pipelined_fetch)
+                if self._worker is None:
+                    self._worker = _InferenceWorker(
+                        lambda b: np.asarray(
+                            self._forward_packed(jnp.asarray(b))))
+                flat = self._worker.submit(buf)
+                if flat is None:  # pipeline priming: hold the last control
+                    self.gps_buffer.update(
+                        self.control.steer, self.control.throttle,
+                        self.control.brake > 0.5, tick_data["compass"],
+                        tick_data["speed"])
+                    return self.control
+                out = None
+            else:
+                out = self._forward_packed(jnp.asarray(buf))
         else:
             fwd_args = [jnp.asarray(rgb), jnp.asarray(lidar_bev),
                         jnp.asarray(target_point), jnp.asarray(tp_image),
@@ -426,7 +520,7 @@ class HybridAgent(AutonomousAgent):
                 fwd_args += [jnp.asarray(bev_pts[None]),
                              jnp.asarray(cam_pts[None])]
             out = self._forward(*fwd_args)
-        if ctrl.pipelined_fetch:
+        if ctrl.pipelined_fetch and out is not None:
             # Swap in the PREVIOUS compute frame's (already executing)
             # outputs and let this frame's forward run while the sim
             # advances — the fetch below then waits only on work that has
@@ -441,7 +535,8 @@ class HybridAgent(AutonomousAgent):
                 return self.control
             out = pending
         if self._forward_packed is not None:
-            flat = np.asarray(out)     # the ONE device->host round trip
+            if out is not None:        # sync path: fetch here
+                flat = np.asarray(out)  # the ONE device->host round trip
             wp = flat[:self._wp_size].reshape(self._wp_shape)
             boxes = flat[self._wp_size:].reshape(self._boxes_shape)
         else:
@@ -527,4 +622,7 @@ class HybridAgent(AutonomousAgent):
         return out
 
     def destroy(self) -> None:
+        if self._worker is not None:
+            self._worker.close()
+            self._worker = None
         self._forward = None

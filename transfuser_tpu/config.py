@@ -32,6 +32,16 @@ class SensorConfig:
     camera_width: int = 960
     camera_height: int = 480
     camera_fov: int = 120
+    # Declare cameras at the consumed crop's resolution/FOV instead of the
+    # reference's 960x480 fov-120 rig. The agent center-crops each frame
+    # to 320x160 (submission_agent's scale_crop); a center crop of an
+    # ideal pinhole IS a narrower pinhole with the same focal length
+    # (fx = 960/(2 tan 60) = 320/(2 tan 30) = 277.128 px) and the same
+    # principal axis — identical pixels, 9x fewer rendered. Also matches
+    # the datagen rig exactly (agents/data_agent.py declares 320x160
+    # fov-60), so train and eval see the same sensor. False = declare the
+    # reference's full-frame rig and crop agent-side.
+    crop_equivalent_rig: bool = True
     camera_pos: Tuple[float, float, float] = (1.3, 0.0, 2.3)
     camera_rot_0: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     camera_rot_1: Tuple[float, float, float] = (0.0, 0.0, -60.0)
@@ -242,6 +252,12 @@ class ControllerConfig:
     # frames, submission_agent.py:252-254). Hides the tunnel RTT on
     # remote-attached accelerators. Off = reference timing semantics.
     pipelined_fetch: bool = False
+    # Run the packed upload->dispatch->fetch chain on a background thread
+    # (agents/hybrid_agent._InferenceWorker): same one-frame lag as
+    # pipelined_fetch, but the tunnel RPC wall overlaps sim time entirely
+    # instead of blocking the control loop on the fetch. Off = reference
+    # timing semantics (synchronous forward every compute frame).
+    async_inference: bool = False
     stuck_threshold: int = 550  # 1100 / action_repeat (config.py:157)
     creep_duration: int = 15  # 30 / action_repeat (config.py:158)
     iou_threshold_nms: float = 0.2
