@@ -207,10 +207,14 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
-    # Global-norm gradient clipping. The reference trains without it
-    # (train.py:138-142) but the round-4 flagship run logged loss_wp
-    # spikes (12.47 @ epoch 6, 8.14 @ epoch 8) with no guard; 0 = off.
-    grad_clip_norm: float = 1.0
+    # Global-norm gradient clipping; 0 = off (default, matching the
+    # reference, train.py:138-142). MEASURED r5: clip=1.0 makes the
+    # flagship DIVERGE (loss 3.4->8.2->14.6->...86 over 8 epochs, twice,
+    # both loaders) while the identical unclipped run wobbles and
+    # converges — once loss_wp/loss_semantic grow, their grads dominate
+    # the fixed-norm global update and starve every other head
+    # (PERF_NOTES "grad clipping divergence"). Keep 0 unless re-measured.
+    grad_clip_norm: float = 0.0
     augment: bool = True
     inv_augment_prob: float = 0.1
     aug_max_rotation: float = 20.0  # degrees

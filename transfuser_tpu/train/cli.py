@@ -46,11 +46,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--use_target_point_image", type=int, default=1)
     p.add_argument("--use_point_pillars", type=int, default=0)
     p.add_argument("--val_every", type=int, default=5)
-    p.add_argument("--grad_clip", type=float, default=1.0,
-                   help="Global-norm gradient clip; 0 disables. The "
-                        "reference trains unclipped, but the round-4 "
-                        "flagship run logged unguarded loss_wp spikes "
-                        "(12.47/8.14) mid-run.")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="Global-norm gradient clip; 0 disables (default: "
+                        "the reference trains unclipped, and the r5 A/B "
+                        "measured clip=1.0 DIVERGING on the flagship — "
+                        "PERF_NOTES 'grad clipping divergence').")
     p.add_argument("--no_bev_loss", type=int, default=0)
     p.add_argument("--sync_batch_norm", type=int, default=1,
                    help="Global batch-norm stats (free under GSPMD).")
