@@ -227,3 +227,66 @@ def test_route_length_scaled_timeout(tmp_path):
     assert s0.timeout == int(0.8 * s0.route_length_m + 5.0)
     assert s1.timeout == int(0.8 * s1.route_length_m + 5.0)
     assert s0.timeout > s1.timeout
+
+
+def test_collision_debounce_reference_semantics():
+    """CollisionTest parity (atomic_criteria_local.py:299-301,376,
+    397-403): same-actor re-collisions inside MAX_ID_TIME count once,
+    micro-collisions within MIN_AREA_OF_COLLISION of a counted point are
+    ignored, and both suppressions expire (time / distance)."""
+    from transfuser_tpu.harness.criteria import CollisionTest
+    from transfuser_tpu.sim.replay import Actor
+    from transfuser_tpu.sim.types import Location, Rotation, Transform
+
+    class FakeSim:
+        def __init__(self):
+            self.game_time = 0.0
+            self.ego_transform = Transform(Location(0.0, 0.0), Rotation())
+            self.collision_events = []
+
+    def car(aid, x=0.0, y=0.0):
+        return Actor(actor_id=aid, type_id="vehicle.background",
+                     transform=Transform(Location(x, y), Rotation()))
+
+    sim = FakeSim()
+    crit = CollisionTest()
+
+    # tick 0: contact with actor 7 -> one event
+    sim.collision_events = [car(7)]
+    crit.update(sim)
+    assert len(crit.events) == 1
+
+    # sustained contact next tick -> still one
+    sim.game_time = 0.05
+    crit.update(sim)
+    assert len(crit.events) == 1
+
+    # contact breaks for a tick, then the SAME actor touches again 1 cm
+    # away 0.1 s later (bumper oscillation): suppressed by last_id AND
+    # the 3 m micro-collision area (the round-5 expert route-8 case)
+    sim.game_time = 0.10
+    sim.collision_events = []
+    crit.update(sim)
+    sim.game_time = 0.15
+    sim.ego_transform = Transform(Location(0.01, 0.0), Rotation())
+    sim.collision_events = [car(7)]
+    crit.update(sim)
+    assert len(crit.events) == 1
+
+    # a DIFFERENT actor while still within 3 m of the counted point:
+    # micro-collision, ignored (reference ignores by area regardless of id)
+    sim.game_time = 0.20
+    sim.collision_events = [car(9)]
+    crit.update(sim)
+    assert len(crit.events) == 1
+
+    # ego moves 6 m away (> MAX_AREA_OF_COLLISION, point forgotten) and
+    # 6 s pass (> MAX_ID_TIME, last_id expired): actor 7 counts again
+    sim.game_time = 6.5
+    sim.ego_transform = Transform(Location(6.0, 0.0), Rotation())
+    sim.collision_events = []
+    crit.update(sim)
+    sim.game_time = 6.55
+    sim.collision_events = [car(7, x=6.0)]
+    crit.update(sim)
+    assert len(crit.events) == 2

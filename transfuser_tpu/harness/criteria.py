@@ -33,18 +33,49 @@ class Criterion:
 
 
 class CollisionTest(Criterion):
+    """Reference debounce semantics (atomic_criteria_local.py:299-301,
+    376, 397-403): a re-collision with the SAME actor id is ignored for
+    MAX_ID_TIME game-seconds after the last counted one, and ANY
+    collision while the ego is within MIN_AREA_OF_COLLISION of a
+    previously counted collision point is a micro-collision and ignored;
+    counted points are forgotten once the ego moves more than
+    MAX_AREA_OF_COLLISION away. On top of that, the hermetic backend
+    reports sustained OBB contact every tick (the CARLA sensor fires per
+    impulse event), so one continuous contact is still one event."""
+
     name = "CollisionTest"
+    MIN_AREA_OF_COLLISION = 3.0
+    MAX_AREA_OF_COLLISION = 5.0
+    MAX_ID_TIME = 5.0
 
     def __init__(self) -> None:
         super().__init__()
         self._colliding_ids: set = set()
+        self._registered: List[tuple] = []  # ego (x, y) at counted events
+        self._last_id = None
+        self._last_time = 0.0
 
     def update(self, sim: ReplaySimulation) -> None:
+        ego = sim.ego_transform.location
+        now = sim.game_time
+        self._registered = [
+            p for p in self._registered
+            if math.hypot(ego.x - p[0], ego.y - p[1])
+            <= self.MAX_AREA_OF_COLLISION]
+        if self._last_id is not None and \
+                now - self._last_time > self.MAX_ID_TIME:
+            self._last_id = None
         current = set()
         for actor in sim.collision_events:
             current.add(actor.actor_id)
             if actor.actor_id in self._colliding_ids:
                 continue  # debounce: one event per continuous contact
+            if actor.actor_id == self._last_id:
+                continue  # same actor within MAX_ID_TIME
+            if any(math.hypot(ego.x - p[0], ego.y - p[1])
+                   <= self.MIN_AREA_OF_COLLISION
+                   for p in self._registered):
+                continue  # micro-collision near a counted one
             if actor.type_id.startswith("walker"):
                 etype = TrafficEventType.COLLISION_PEDESTRIAN
             elif actor.type_id.startswith("vehicle"):
@@ -60,6 +91,9 @@ class CollisionTest(Criterion):
                 dictionary={"type": actor.type_id, "id": actor.actor_id,
                             "x": loc.x, "y": loc.y, "z": loc.z}))
             self.test_status = "FAILURE"
+            self._registered.append((ego.x, ego.y))
+            self._last_id = actor.actor_id
+            self._last_time = now
         self._colliding_ids = current
 
 
