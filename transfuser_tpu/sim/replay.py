@@ -120,6 +120,7 @@ class ReplaySimulation:
         # raw (sem, depth) renders shared across the rgb/semantic/depth
         # sensors mounted at one pose: {pose_key: (frame, sem, depth)}
         self._pose_render_cache: Dict[Tuple, Tuple[int, Any, Any]] = {}
+        self._camera_objs: Dict[Tuple, Any] = {}
         # weather state applied by the sensor synthesis (DataAgent's
         # shuffle_weather, data_agent.py:222-242)
         self.weather = {"weather": "Clear", "daytime": "Noon"}
@@ -317,7 +318,12 @@ class ReplaySimulation:
                 and self.frame - pose_hit[0] < self.camera_refresh:
             sem, depth = pose_hit[1], pose_hit[2]
         else:
-            cam = PinholeCamera.from_spec(spec)
+            cam = self._camera_objs.get(pose_key)
+            if cam is None:
+                # camera objects carry precomputed static geometry
+                # (ray grid, ground-plane hits) — build once per pose
+                cam = PinholeCamera.from_spec(spec)
+                self._camera_objs[pose_key] = cam
             sem, depth = cam.render(self)
             self._pose_render_cache[pose_key] = (self.frame, sem, depth)
         if kind == "semantic":

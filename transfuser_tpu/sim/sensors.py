@@ -55,6 +55,10 @@ _PALETTE = {
     TL_YELLOW: (250, 200, 40), TL_BACK: (55, 55, 55), 0: (30, 60, 30),
 }
 
+# pooled rgb pixel noise (see semantic_to_rgb): amplitude -> int16 pool
+_NOISE_POOLS: Dict[int, np.ndarray] = {}
+_NOISE_SLACK = 1 << 16
+
 # traffic-light bulbs are emissive: they keep full brightness at night
 # and are not dimmed by weather (they are the brightest pixels in a real
 # night frame, which is exactly what makes night driving learnable)
@@ -93,19 +97,36 @@ def rain_dropoff(weather: Optional[Dict[str, str]]) -> float:
 def semantic_to_rgb(sem: np.ndarray, rng: np.random.Generator,
                     weather: Optional[Dict[str, str]] = None) -> np.ndarray:
     """Palette-render a semantic id image into a plausible rgb frame,
-    modulated by the sim's weather/daytime setting."""
-    rgb = np.zeros(sem.shape + (3,), np.float32)
-    for cid, color in _PALETTE.items():
-        rgb[sem == cid] = color
+    modulated by the sim's weather/daytime setting.
+
+    One 256-entry LUT gather instead of per-class boolean masks (the
+    mask loop was ~9 ms/call = most of the trained-eval camera cost,
+    experiments/eval_sim_profile.py round 5); output is bit-identical
+    (same float ops per entry, same rng draw order/shape)."""
     w = (weather or {}).get("weather", "Clear")
     d = (weather or {}).get("daytime", "Noon")
+    lut = np.zeros((256, 3), np.float32)
+    for cid, color in _PALETTE.items():
+        lut[cid] = color
     if w in ("Wet", "WetCloudy", "MidRain", "HardRain", "SoftRain"):
-        rgb[sem == ROAD] *= 0.6  # wet asphalt reads darker
-    emissive = np.isin(sem, _EMISSIVE)
-    rgb[~emissive] *= _DAYTIME_BRIGHTNESS.get(d, 1.0)
+        lut[ROAD] *= 0.6  # wet asphalt reads darker
+    emissive = np.zeros(256, bool)
+    emissive[list(_EMISSIVE)] = True
+    lut[~emissive] *= _DAYTIME_BRIGHTNESS.get(d, 1.0)
+    rgb = lut[sem]
     noise_amp = _WEATHER_NOISE.get(w, 12)
-    noise = rng.integers(-noise_amp, noise_amp + 1, rgb.shape,
-                         dtype=np.int16)
+    # Per-pixel uniform noise from a pre-generated pool at a random
+    # offset (one scalar draw) instead of ~150k fresh PCG64 samples per
+    # frame — the fresh draw was ~40% of the rgb camera's cost in the
+    # closed-loop eval. Same iid uniform[-amp, amp] marginal per frame.
+    need = rgb.size
+    pool = _NOISE_POOLS.get(noise_amp)
+    if pool is None or pool.size < need + _NOISE_SLACK:
+        pool = rng.integers(-noise_amp, noise_amp + 1,
+                            need + _NOISE_SLACK, dtype=np.int16)
+        _NOISE_POOLS[noise_amp] = pool
+    off = int(rng.integers(0, pool.size - need + 1))
+    noise = pool[off:off + need].reshape(rgb.shape)
     return np.clip(rgb + noise, 0, 255).astype(np.uint8)
 
 
@@ -127,6 +148,29 @@ class PinholeCamera:
                              np.arange(self.h) + 0.5)
         self.dir_y = (us - self.cx) / self.fx
         self.dir_z = -(vs - self.cy) / self.fy
+        # Static ground-plane geometry: the camera is rigid in the ego
+        # frame, so the ground-ray intersections never change — computed
+        # once here instead of per render (the trained eval renders 3
+        # cameras per compute frame, experiments/eval_sim_profile.py).
+        dz = self.dir_z
+        below = dz < -1e-4
+        t = np.where(below, self.offset[2] / np.maximum(-dz, 1e-6), np.inf)
+        ground_depth = t.astype(np.float32)
+        hit = below & (ground_depth < 200.0)
+        self._ground_hit = hit
+        self._depth0 = np.where(hit, ground_depth, 1000.0).astype(np.float32)
+        self._sem0 = np.where(hit, SIDEWALK, SKY).astype(np.uint8)
+        # subsampled ground-hit points in the EGO frame (world pose is
+        # applied per render with one rotation): road classification grid
+        step = 4
+        ys, xs = np.mgrid[0:self.h:step, 0:self.w:step]
+        self._sub_hit = hit[ys, xs]
+        sub_t = np.where(self._sub_hit, t[ys, xs], 0.0)
+        dy = self.dir_y[ys, xs]
+        cyw, syw = math.cos(self.yaw), math.sin(self.yaw)
+        xc, yc = sub_t, sub_t * dy
+        self._sub_xe = xc * cyw - yc * syw + self.offset[0]
+        self._sub_ye = xc * syw + yc * cyw + self.offset[1]
 
     @classmethod
     def from_spec(cls, spec: Dict) -> "PinholeCamera":
@@ -140,80 +184,52 @@ class PinholeCamera:
                       ego_yaw: float) -> np.ndarray:
         """(N, 3) world -> camera frame (x fwd, y right, z up)."""
         c, s = math.cos(ego_yaw), math.sin(ego_yaw)
-        rel = pts_world.copy()
-        rel[:, 0] -= ego_xy[0]
-        rel[:, 1] -= ego_xy[1]
+        rx = pts_world[:, 0] - ego_xy[0]
+        ry = pts_world[:, 1] - ego_xy[1]
         # world -> ego vehicle frame (carla: x fwd, y right; local = R^T rel)
-        xe = rel[:, 0] * c + rel[:, 1] * s
-        ye = -rel[:, 0] * s + rel[:, 1] * c
-        ze = rel[:, 2]
-        v = np.stack([xe, ye, ze], axis=1) - self.offset
+        xe = rx * c + ry * s - self.offset[0]
+        ye = -rx * s + ry * c - self.offset[1]
         cy, sy = math.cos(self.yaw), math.sin(self.yaw)
-        xc = v[:, 0] * cy + v[:, 1] * sy
-        yc = -v[:, 0] * sy + v[:, 1] * cy
-        return np.stack([xc, yc, v[:, 2]], axis=1)
+        out = np.empty((pts_world.shape[0], 3))
+        out[:, 0] = xe * cy + ye * sy
+        out[:, 1] = -xe * sy + ye * cy
+        out[:, 2] = pts_world[:, 2] - self.offset[2]
+        return out
 
     def _project(self, cam: np.ndarray) -> np.ndarray:
         """(N, 3) cam-frame -> (N, 2) pixel coords (no clipping)."""
         x = np.maximum(cam[:, 0], 1e-6)
-        u = self.cx + self.fx * cam[:, 1] / x
-        v = self.cy - self.fy * cam[:, 2] / x
-        return np.stack([u, v], axis=1)
+        out = np.empty((cam.shape[0], 2))
+        out[:, 0] = self.cx + self.fx * cam[:, 1] / x
+        out[:, 1] = self.cy - self.fy * cam[:, 2] / x
+        return out
 
     # ------------------------------------------------------------- render
     def render(self, sim) -> Tuple[np.ndarray, np.ndarray]:
         """-> (semantic raw-id (H, W) uint8, depth_m (H, W) float32)."""
         import cv2
         h, w = self.h, self.w
-        depth = np.full((h, w), 1000.0, np.float32)
-        sem = np.full((h, w), SKY, np.uint8)
+        # ground plane + sky come from the static per-camera geometry
+        depth = self._depth0.copy()
+        sem = self._sem0.copy()
+        hit = self._ground_hit
 
         ego = sim.ego_transform
         ego_xy = np.array([ego.location.x, ego.location.y])
         ego_yaw = math.radians(ego.rotation.yaw)
 
-        # ground plane (z = 0, camera at height offset[2])
-        dz = self.dir_z
-        below = dz < -1e-4
-        t = np.where(below, self.offset[2] / np.maximum(-dz, 1e-6), np.inf)
-        ground_depth = t.astype(np.float32)  # x_cam of the hit is t * 1
-        hit = below & (ground_depth < 200.0)
-        depth[hit] = ground_depth[hit]
-        sem[hit] = SIDEWALK
         if sim.town_map is not None:
-            # classify road pixels on a subsampled grid, then upsample
-            step = 4
-            ys, xs = np.mgrid[0:h:step, 0:w:step]
-            sub_hit = hit[ys, xs]
-            sub_t = np.where(sub_hit, t[ys, xs], 0.0)
-            dy = self.dir_y[ys, xs]
-            # hit point in camera frame -> world xy
-            xc = sub_t
-            yc = sub_t * dy
-            cyw, syw = math.cos(self.yaw), math.sin(self.yaw)
-            xe = xc * cyw - yc * syw + self.offset[0]
-            ye = xc * syw + yc * cyw + self.offset[1]
+            # classify road pixels on a subsampled grid, then upsample;
+            # the road raster itself is position-cached (see _road_mask)
             ce, se = math.cos(ego_yaw), math.sin(ego_yaw)
+            xe, ye = self._sub_xe, self._sub_ye
             wx = ego_xy[0] + xe * ce - ye * se
             wy = ego_xy[1] + xe * se + ye * ce
-            # rasterize the nearby road network once (0.5 m/px local
-            # grid), then sample every hit point — the per-pixel
-            # nearest-lane query was ~30k Python calls per render
-            res = 0.5
-            rad = 220.0
-            n = int(2 * rad / res)
-            origin = ego_xy - rad
-            mask = np.zeros((n, n), np.uint8)
-            for lane in sim.town_map.lanes_near(ego_xy[0], ego_xy[1],
-                                                rad):
-                px = ((lane.centerline - origin) / res).astype(np.int32)
-                cv2.polylines(mask, [px.reshape(-1, 1, 2)], False, 1,
-                              thickness=max(1, round(lane.width / res)))
-            ix = np.clip(((wx - origin[0]) / res).astype(np.int32),
-                         0, n - 1)
-            iy = np.clip(((wy - origin[1]) / res).astype(np.int32),
-                         0, n - 1)
-            road_sub = (mask[iy, ix] > 0) & sub_hit
+            ox, oy, n, mask, res = _road_mask(sim.town_map, ego_xy[0],
+                                              ego_xy[1])
+            ix = np.clip(((wx - ox) / res).astype(np.int32), 0, n - 1)
+            iy = np.clip(((wy - oy) / res).astype(np.int32), 0, n - 1)
+            road_sub = (mask[iy, ix] > 0) & self._sub_hit
             road_full = cv2.resize(road_sub.astype(np.uint8), (w, h),
                                    interpolation=cv2.INTER_NEAREST) > 0
             sem[hit & road_full] = ROAD
@@ -241,25 +257,80 @@ class PinholeCamera:
                           a.transform.rotation.yaw,
                           np.array([a.extent.x, a.extent.y, a.extent.z]),
                           0.0, cls_id))
-        for bx, by, byaw, half, base_z, cls_id in boxes:
-            corners = _box_corners_world(bx, by, byaw, half, base_z)
-            cam = self._world_to_cam(corners, ego_xy, ego_yaw)
-            if np.all(cam[:, 0] <= 0.2):
+        if not boxes:
+            return sem, depth
+        # one batched world->cam transform + projection for ALL boxes
+        # (the per-box numpy round trips were ~40% of render time)
+        all_corners = np.concatenate(
+            [_box_corners_world(bx, by, byaw, half, base_z)
+             for bx, by, byaw, half, base_z, _ in boxes])
+        cam_all = self._world_to_cam(all_corners, ego_xy, ego_yaw
+                                     ).reshape(len(boxes), 8, 3)
+        front = cam_all[:, :, 0] > 0.2
+        box_depths = np.min(np.maximum(cam_all[:, :, 0], 0.2), axis=1)
+        cam_all[:, :, 0] = np.maximum(cam_all[:, :, 0], 0.2)
+        px_all = self._project(cam_all.reshape(-1, 3)
+                               ).reshape(len(boxes), 8, 2)
+        for i, (_, _, _, _, _, cls_id) in enumerate(boxes):
+            if not front[i].any():
                 continue
-            cam[:, 0] = np.maximum(cam[:, 0], 0.2)
-            px = self._project(cam)
+            px = px_all[i]
             if np.all(px[:, 0] < 0) or np.all(px[:, 0] >= w) or \
                     np.all(px[:, 1] < 0) or np.all(px[:, 1] >= h):
                 continue
-            hull = cv2.convexHull(px.astype(np.int32))
-            mask = np.zeros((h, w), np.uint8)
-            cv2.fillConvexPoly(mask, hull, 1)
-            m = mask.astype(bool)
-            box_depth = float(np.min(cam[:, 0]))
-            nearer = m & (box_depth < depth)
-            depth[nearer] = box_depth
-            sem[nearer] = cls_id
+            ipx = px.astype(np.int32)
+            # fill only the hull's clipped bounding rect — identical
+            # pixels, ~100x less memory traffic than full-frame masks
+            x0 = max(0, int(ipx[:, 0].min()))
+            x1 = min(w, int(ipx[:, 0].max()) + 1)
+            y0 = max(0, int(ipx[:, 1].min()))
+            y1 = min(h, int(ipx[:, 1].max()) + 1)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            hull = cv2.convexHull(ipx) - np.array([x0, y0], np.int32)
+            sub = np.zeros((y1 - y0, x1 - x0), np.uint8)
+            cv2.fillConvexPoly(sub, hull, 1)
+            box_depth = float(box_depths[i])
+            dview = depth[y0:y1, x0:x1]
+            nearer = sub.astype(bool) & (box_depth < dview)
+            dview[nearer] = box_depth
+            sem[y0:y1, x0:x1][nearer] = cls_id
         return sem, depth
+
+
+# Road raster cache: a world-aligned 0.5 m/px rasterization of the lane
+# network around the ego, rebuilt only when the ego leaves a 16 m box
+# around the last build point (the per-render rebuild — ~200 polylines
+# over an 880x880 grid, 3 cameras per compute frame — was the single
+# largest cost of the trained closed-loop eval). Snapping the origin to
+# the raster grid makes road classification a pure function of world
+# position, so all cameras/frames sample one consistent raster.
+_ROAD_MASK_RES = 0.5
+_ROAD_MASK_RAD = 220.0
+_ROAD_MASK_MARGIN = 16.0
+
+
+def _road_mask(tm, ex: float, ey: float):
+    cached = getattr(tm, "_road_mask_cache", None)
+    if cached is not None:
+        ox, oy, n, mask, res, bx, by = cached
+        if abs(ex - bx) <= _ROAD_MASK_MARGIN and \
+                abs(ey - by) <= _ROAD_MASK_MARGIN:
+            return ox, oy, n, mask, res
+    import cv2
+    res = _ROAD_MASK_RES
+    rad = _ROAD_MASK_RAD
+    n = int(2 * rad / res)
+    ox = math.floor((ex - rad) / res) * res
+    oy = math.floor((ey - rad) / res) * res
+    origin = np.array([ox, oy])
+    mask = np.zeros((n, n), np.uint8)
+    for lane in tm.lanes_near(ex, ey, rad):
+        px = ((lane.centerline - origin) / res).astype(np.int32)
+        cv2.polylines(mask, [px.reshape(-1, 1, 2)], False, 1,
+                      thickness=max(1, round(lane.width / res)))
+    tm._road_mask_cache = (ox, oy, n, mask, res, ex, ey)
+    return ox, oy, n, mask, res
 
 
 _TL_STATE_ID = {"Red": TL_RED, "Yellow": TL_YELLOW, "Green": TRAFFIC_LIGHT}

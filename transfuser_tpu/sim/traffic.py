@@ -164,7 +164,11 @@ class TrafficManager:
         # connector lanes), so background cars brake for them instead of
         # driving through (CARLA TM's collision detection covers all
         # registered actors).
-        def occupy(x: float, y: float, ext_x: float, ext_y: float,
+        occ_cache = getattr(self, "_occ_cache", None)
+        if occ_cache is None:
+            occ_cache = self._occ_cache = {}
+
+        def occupy(key: int, x: float, y: float, ext_x: float, ext_y: float,
                    yaw_deg: float, speed: float) -> None:
             # Project the actor's ORIENTED box onto each nearby lane: a
             # lane-aligned car only claims its own lane (lateral half
@@ -172,6 +176,18 @@ class TrafficManager:
             # what its length actually sweeps. A symmetric max(x, y)
             # footprint made one parked adversary block both lanes of a
             # two-lane road.
+            # Lane geometry is static, so the (lane, s, half_s) set is a
+            # pure function of the actor's pose — cached while the actor
+            # stands still (parked adversaries and waiting walkers
+            # dominated TrafficManager.step's profile; only the entry
+            # SPEED is refreshed on a cache hit).
+            cached = occ_cache.get(key)
+            if cached is not None and cached[0] == (x, y, yaw_deg):
+                for lane_id, s, half_s in cached[1]:
+                    occupancy.setdefault(lane_id, []).append(
+                        (s, half_s, speed))
+                return
+            entries: List[Tuple[int, float, float]] = []
             for lane in self.map.lanes_near(x, y, radius=2.0 * 3.5):
                 s, lat = lane.project(x, y)
                 cx, cy, lane_yaw = lane.position_f(s)
@@ -196,10 +212,13 @@ class TrafficManager:
                         np.array([ext_x + 0.2, ext_y + 0.2]),
                         math.radians(yaw_deg))
                     if obb_intersect(corridor, box):
-                        occupancy.setdefault(lane.lane_id, []).append(
-                            (s, half_s, speed))
+                        entries.append((lane.lane_id, s, half_s))
+            occ_cache[key] = ((x, y, yaw_deg), entries)
+            for lane_id, s, half_s in entries:
+                occupancy.setdefault(lane_id, []).append((s, half_s, speed))
 
-        occupy(sim.ego_transform.location.x, sim.ego_transform.location.y,
+        occupy(-1, sim.ego_transform.location.x,
+               sim.ego_transform.location.y,
                sim.ego_extent.x, sim.ego_extent.y,
                sim.ego_transform.rotation.yaw, sim.ego_speed)
         for actor in sim.actors:
@@ -207,7 +226,8 @@ class TrafficManager:
             if actor.actor_id in managed_ids or not (
                     t.startswith("vehicle") or t.startswith("walker")):
                 continue
-            occupy(actor.transform.location.x, actor.transform.location.y,
+            occupy(actor.actor_id, actor.transform.location.x,
+                   actor.transform.location.y,
                    float(actor.extent.x), float(actor.extent.y),
                    actor.transform.rotation.yaw, float(actor.speed))
 
