@@ -325,6 +325,30 @@ def main(argv: Optional[list] = None) -> None:
                 if ade is not None and (best_val_ade is None
                                         or ade < best_val_ade):
                     best_val_ade, best_epoch = float(ade), epoch + 1
+                    if is_chief:
+                        # Eager best-val inference export into its own
+                        # model dir: a usable eval ensemble survives even
+                        # if a later epoch or an async checkpoint save
+                        # wedges the job (the round-5 flagship run died
+                        # at the epoch-15 orbax save and had to be
+                        # exported by hand, results/flagship_training_r5
+                        # .json). A subdir keeps the final model_*.msgpack
+                        # export from turning into a 2-member ensemble.
+                        from .checkpoint import save_inference_weights
+                        best_dir = os.path.join(logdir, "best")
+                        os.makedirs(best_dir, exist_ok=True)
+                        save_config_snapshot(best_dir, cfg)
+                        save_inference_weights(
+                            os.path.join(best_dir, "model_best.msgpack"),
+                            {"params": trainer.state.params,
+                             "batch_stats": trainer.state.batch_stats})
+                        with open(os.path.join(best_dir,
+                                               "EXPORT.json"), "w") as f:
+                            json.dump({"epoch": epoch + 1,
+                                       "val_ade": best_val_ade,
+                                       "val_fde": float(
+                                           val_metrics.get("val_fde", 0.0)),
+                                       }, f, indent=1)
 
             # async: staging returns immediately, the write overlaps the
             # next epoch's training (AsyncCheckpointWriter)
