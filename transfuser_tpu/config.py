@@ -215,6 +215,16 @@ class TrainConfig:
     # the fixed-norm global update and starve every other head
     # (PERF_NOTES "grad clipping divergence"). Keep 0 unless re-measured.
     grad_clip_norm: float = 0.0
+    # NFNet-style adaptive gradient clipping (per-block, relative to the
+    # block's weight norm); 0 = off (reference parity). Unlike the
+    # global-norm clip above, AGC cannot let one exploding head starve
+    # the rest — it is the random-init stabilizer the pretrained
+    # reference never needed.
+    agc_clip: float = 0.0
+    # Linear LR warmup in epochs; 0 = off (reference parity — the
+    # reference fine-tunes ImageNet weights, train.py:138, and needs
+    # none; random-init runs measurably spike without it).
+    warmup_epochs: float = 0.0
     augment: bool = True
     inv_augment_prob: float = 0.1
     aug_max_rotation: float = 20.0  # degrees

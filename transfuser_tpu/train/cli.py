@@ -51,6 +51,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the reference trains unclipped, and the r5 A/B "
                         "measured clip=1.0 DIVERGING on the flagship — "
                         "PERF_NOTES 'grad clipping divergence').")
+    p.add_argument("--agc_clip", type=float, default=0.0,
+                   help="NFNet-style adaptive (per-block, weight-relative) "
+                        "gradient clipping; 0 disables. The random-init "
+                        "stabilizer: unlike --grad_clip it cannot let one "
+                        "exploding head starve the others.")
+    p.add_argument("--warmup_epochs", type=float, default=0.0,
+                   help="Linear LR warmup in epochs; 0 disables "
+                        "(reference parity — it fine-tunes ImageNet "
+                        "weights and needs none).")
     p.add_argument("--no_bev_loss", type=int, default=0)
     p.add_argument("--sync_batch_norm", type=int, default=1,
                    help="Global batch-norm stats (free under GSPMD).")
@@ -150,6 +159,8 @@ def config_from_args(args: argparse.Namespace):
         if args.schedule else 10 ** 9,
         val_every=args.val_every,
         grad_clip_norm=args.grad_clip,
+        agc_clip=args.agc_clip,
+        warmup_epochs=args.warmup_epochs,
         zero_redundancy_optimizer=bool(args.zero_redundancy_optimizer),
         seed=args.seed)
     return cfg.replace(model=model, loss=loss, train=train)
